@@ -1,0 +1,101 @@
+"""Typed configuration for the whole decode pipeline.
+
+Every tuning constant of the reference — including the ones hard-coded deep
+inside ``demodulate()`` (lib/sync_and_demodulate_impl.cc:328-335) and the
+Fano bias (lib/Fano.cc:40) — lifted into one dataclass with the reference's
+exact defaults, per SURVEY.md §5 ("Config/flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CoarseConfig:
+    """FDR (coarse search) parameters — grc/uwspr_FDR.xml defaults, with
+    halfbandwidth=10 as used by the example flowgraphs."""
+
+    fs: int = 375                 # baseband sample rate
+    fl: int = 45000               # window length, samples (120 s)
+    spb: int = 256                # samples per symbol
+    maxdrift: int = 0             # linear drift search half-range (symbols)
+    maxfreqs: int = 200           # max candidates kept per window
+    halfbandwidth: int = 10       # Hz, half passband searched
+    cf: int = 1500                # carrier frequency (Hz) for SLM Doppler
+    threshold: float = 10.0       # nonlinear/linear sync ratio gate
+    search_nonlinear: bool = True  # include the 125 SLM trajectories
+
+    @property
+    def fft_size(self) -> int:          # "size" = 2*spb
+        return 2 * self.spb
+
+    @property
+    def n_ffts(self) -> int:            # "n" = floor(fl/spb*2) - 3
+        return int(self.fl / self.spb * 2) - 3
+
+    @property
+    def df(self) -> float:              # bin width
+        return self.fs / self.fft_size
+
+    @property
+    def hpbm(self) -> int:              # passband half-width in bins
+        import math
+        return math.ceil(self.halfbandwidth / self.df)
+
+
+@dataclass(frozen=True)
+class DemodConfig:
+    """Fine sync / soft-symbol parameters (sync_and_demodulate defaults)."""
+
+    maxcycles: int = 10000        # Fano cycle budget per bit
+    minsync1: float = 0.10        # gate after coarse lag/freq refinement
+    minsync2: float = 0.12        # gate before each Fano attempt
+    iifac: int = 8                # jiggle step in samples
+    symfac: int = 50              # soft-symbol scaling
+    fano_delta: int = 60          # Fano threshold step
+    fano_bias: float = 0.45       # metric bias
+    n_jiggles: int = 17           # idt = 0..128/iifac inclusive
+
+    @property
+    def minrms(self) -> float:    # plausibility gate: 52 * symfac/64
+        return 52.0 * (self.symfac / 64.0)
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Sliding-window stream parameters (sliding_window_stream_to_pdu)."""
+
+    fs: int = 375
+    fl: int = 45000               # window, samples
+    shift: int = 9                # hop, seconds
+    capacity_windows: int = 2     # ring capacity C, in windows
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """12 kS/s audio -> 375 S/s baseband downconversion chain."""
+
+    audio_rate: int = 12000
+    center_freq: float = 1500.0
+    half_bandwidth: float = 10.0  # band-pass half-width around center
+    transition_width: float = 10.0
+    decimation: int = 32
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    coarse: CoarseConfig = dataclasses.field(default_factory=CoarseConfig)
+    demod: DemodConfig = dataclasses.field(default_factory=DemodConfig)
+    stream: StreamConfig = dataclasses.field(default_factory=StreamConfig)
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    fano_backend: str = "native"   # "native" (C++ host) | "jax" (batched TPU)
+
+
+DEFAULT_CONFIG = PipelineConfig()
+
+__all__ = [
+    "CoarseConfig", "DemodConfig", "StreamConfig", "FrontendConfig",
+    "PipelineConfig", "DEFAULT_CONFIG",
+]

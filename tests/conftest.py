@@ -1,19 +1,24 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Real-TPU benchmarking happens in bench.py; unit/integration tests use the
-CPU backend so sharding logic is exercised on an 8-device virtual mesh.
+The environment pre-registers a tunneled TPU backend (axon) via
+sitecustomize, which overrides JAX_PLATFORMS; tests must not run over the
+tunnel, so we force the CPU platform through jax.config after import and
+request 8 virtual host devices for sharding tests. Real-TPU benchmarking
+happens in bench.py only.
 """
 
 import os
+import pathlib
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import pathlib
-import sys
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 

@@ -1,0 +1,99 @@
+"""Coarse search vs the loop-by-loop NumPy oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from oracles import coarse_search_oracle, smoothed_oracle, stft_power_oracle
+from uwspr_tpu.config import CoarseConfig
+from uwspr_tpu.coarse.search import (
+    CoarseSearch,
+    detect_peaks,
+    smoothed_snr_spectrum,
+)
+from uwspr_tpu.io.channel import awgn
+from uwspr_tpu.protocol.modulate import synthesize_frame
+
+
+@pytest.fixture(scope="module")
+def noisy_window():
+    z = (synthesize_frame("VE3EMB", "FN25", 30, start_sample=900,
+                          freq_offset=3.0)
+         + synthesize_frame("K1ABC", "EM79", 37, start_sample=1800,
+                            freq_offset=-5.5, amplitude=0.7))
+    return awgn(z, -15.0, rng=np.random.default_rng(11))
+
+
+@pytest.fixture(scope="module")
+def searcher():
+    return CoarseSearch(CoarseConfig())
+
+
+def test_stft_power_matches_oracle(noisy_window, searcher):
+    ps = np.asarray(searcher.power_spectrum(noisy_window))
+    ref = stft_power_oracle(noisy_window, searcher.cfg)
+    assert ps.shape == ref.shape == (348, 512)
+    np.testing.assert_allclose(ps, ref, rtol=2e-4, atol=1e-3)
+
+
+def test_smoothed_spectrum_matches_oracle(noisy_window, searcher):
+    cfg = searcher.cfg
+    ps = searcher.power_spectrum(noisy_window)
+    sm = np.asarray(smoothed_snr_spectrum(ps, hpbm=cfg.hpbm,
+                                          m=cfg.fft_size // 2))
+    ref = smoothed_oracle(np.asarray(ps, dtype=np.float64), cfg)
+    np.testing.assert_allclose(sm, ref, rtol=1e-4)
+
+
+def test_candidates_match_oracle(noisy_window, searcher):
+    cands = searcher(noisy_window)
+    ref = coarse_search_oracle(noisy_window, searcher.cfg)
+    n = cands.n
+    assert n == len(ref)
+    assert n >= 2
+    agree_mode = 0
+    for i, rc in enumerate(ref):
+        assert cands.freq[i] == pytest.approx(rc["freq"], abs=1e-6)
+        assert cands.snr[i] == pytest.approx(rc["snr"], rel=1e-4)
+        # float-accumulation order differs; near-ties may pick a different
+        # (equally good) grid point, so compare scores at matched tolerance
+        assert cands.sync[i] == pytest.approx(rc["sync"], rel=2e-3, abs=2e-3)
+        if (cands.mode[i] == rc["mode"] and cands.shift[i] == rc["shift"]):
+            agree_mode += 1
+    # the exact winning grid point must agree for nearly all candidates
+    assert agree_mode >= n - 1
+
+
+def test_two_signals_found(noisy_window, searcher):
+    cands = searcher(noisy_window)
+    freqs = cands.freq[cands.valid]
+    assert np.any(np.abs(freqs - 3.0) < 1.0)
+    assert np.any(np.abs(freqs + 5.5) < 1.0)
+
+
+def test_peak_cap_and_order(searcher):
+    rng = np.random.default_rng(0)
+    z = (rng.normal(size=45000) + 1j * rng.normal(size=45000)).astype(np.complex64)
+    cfg = searcher.cfg
+    sm = np.asarray(smoothed_snr_spectrum(searcher.power_spectrum(z),
+                                          hpbm=cfg.hpbm, m=cfg.fft_size // 2))
+    valid, if0, snr = detect_peaks(sm, cfg)
+    n = valid.sum()
+    assert n <= cfg.maxfreqs
+    s = snr[:n]
+    assert np.all(np.diff(s) <= 1e-6)  # sorted descending
+
+
+def test_golden_c2_candidate(searcher, reference_examples):
+    from uwspr_tpu.io.c2file import read_c2
+    c2 = read_c2(reference_examples / "VE3EMB.c2")
+    cands = searcher(c2.samples)
+    ref = coarse_search_oracle(c2.samples, searcher.cfg)
+    assert cands.n == len(ref) == 1
+    assert cands.freq[0] == pytest.approx(ref[0]["freq"])
+    assert cands.shift[0] == ref[0]["shift"]
+    assert cands.mode[0] == ref[0]["mode"]
+    if ref[0]["mode"] == 1:
+        assert tuple(cands.slm_params[0][:2]) == ref[0]["slm"][:2]
+        assert cands.slm_params[0][3] == ref[0]["slm"][3]

@@ -1,0 +1,322 @@
+"""Coarse candidate search (the reference's "FDR" block, re-designed for TPU).
+
+Pipeline per 45000-sample window (behavioral spec: lib/FDR_impl.cc:214-456):
+
+1. STFT power spectrum: 348 half-sine-windowed 512-pt FFTs stepped by half
+   symbols -> ps (348, 512), DC at column 256  (ops/stft.py, batched XLA FFT).
+2. Noise normalization: column-sum psavg, +/-3-bin smoothing over the
+   passband, 30th-percentile noise floor, SNR normalize and clamp
+   (FDR_impl.cc:257-291).
+3. Peak picking: strict local maxima, capped at ``maxfreqs`` in ascending
+   frequency order, then stable-sorted by SNR descending (the reference's
+   bubble sort is stable; FDR_impl.cc:293-319).
+4. Coarse (freq x lag x drift-model) sync scoring.  The reference's triple
+   loop calling powersum() 2.7M times becomes one dense tensor contraction:
+
+   - sqrt-power derivatives A/B are precomputed once per window
+     (A = (r[f-1]+r[f+3])-(r[f-3]+r[f+1]), B = sum of the four; these are
+     the sync-correlation and total-power kernels of powersum(),
+     FDR_impl.cc:188-210);
+   - every drift model (2*maxdrift+1 linear + 125 SLM trajectories) is
+     reduced to a per-symbol integer bin-offset row, combined with the
+     per-symbol sync sign into a one-hot weight matrix W (models, 162*9);
+   - all (lag k0, model, frequency) scores come from one einsum
+     'mkd,wkdf->wmf' that runs on the MXU.
+
+5. Exact sequential selection. The reference's order-dependent update rule
+   (linear models: strictly-greater; nonlinear: accepted when
+   sync/current_best > threshold — a *ratio* against a running maximum that
+   earlier nonlinear acceptances may have changed, FDR_impl.cc:344-405) is
+   reproduced bit-for-bit in evaluation order by a lax.scan over the
+   flattened (freq, lag, model) grid with all candidates vectorized.
+
+Reference quirks consciously preserved (SURVEY.md section 7.3):
+- integer truncation t = k*111//162 mapping symbol index to whole seconds
+  (FDR_impl.cc:382);
+- drift bin offsets floor()ed exactly like C's float->int conversion of the
+  (positive) total bin index;
+- sync initialized to -1e30 and the division-based nonlinear gate, including
+  its behavior for negative running maxima.
+Divergence (documented): out-of-range spectrum reads (possible only with
+halfbandwidth near fs/2, where the reference reads out of bounds —
+FDR_impl.cc:268-275 / :199-205) are treated as zero power here.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uwspr_tpu.config import CoarseConfig
+from uwspr_tpu.models import slm
+from uwspr_tpu.ops.stft import stft_power
+from uwspr_tpu.protocol.constants import SYNC_VECTOR
+
+MODE_LINEAR = 0
+MODE_NONLINEAR = 1
+
+# offsets d in [-4, 4] cover every drift model at the defaults
+_D_MIN, _D_MAX = -6, 6
+_N_SHIFTS = _D_MAX - _D_MIN + 1
+
+
+@dataclass
+class DriftModelBank:
+    """Per-model per-symbol bin offsets + metadata, in reference order."""
+
+    offsets: np.ndarray       # (M, 162) int32 bin offsets (floor of drift/df)
+    is_nonlinear: np.ndarray  # (M,) bool
+    drift: np.ndarray         # (M,) float32 linear drift value (0 for SLM)
+    slm_params: np.ndarray    # (M, 4) float32 (V1, V2, p1, p2); 0 for linear
+
+
+def build_drift_models(cfg: CoarseConfig) -> DriftModelBank:
+    df = cfg.df
+    k = np.arange(162)
+    rows, nonlin, drifts, params = [], [], [], []
+    # linear models, drift = -maxdrift..maxdrift (reference loop order)
+    for drift in range(-cfg.maxdrift, cfg.maxdrift + 1):
+        x = (k - 81.0) / 81.0 * drift / (2.0 * df)
+        rows.append(np.floor(x).astype(np.int32))
+        nonlin.append(False)
+        drifts.append(float(drift))
+        params.append((0.0, 0.0, 0.0, 0.0))
+    if cfg.search_nonlinear:
+        # SLM trajectories in generator order; t = k*111//162 whole seconds
+        t = slm.symbol_times_coarse()
+        for v1, v2, p1, p2 in slm.TRAJECTORIES:
+            # float32 to mirror the reference's float return value
+            d = slm.slm_frequency_drift(v1, v2, p1, p2, cfg.cf, t)
+            x = d.astype(np.float32) / np.float32(df)
+            rows.append(np.floor(x).astype(np.int32))
+            nonlin.append(True)
+            drifts.append(0.0)
+            params.append((v1, v2, p1, p2))
+    bank = DriftModelBank(
+        offsets=np.stack(rows),
+        is_nonlinear=np.array(nonlin),
+        drift=np.array(drifts, dtype=np.float32),
+        slm_params=np.array(params, dtype=np.float32),
+    )
+    assert bank.offsets.min() >= _D_MIN and bank.offsets.max() <= _D_MAX, \
+        (bank.offsets.min(), bank.offsets.max())
+    return bank
+
+
+@dataclass
+class Candidates:
+    """Padded candidate batch (fixed maxfreqs lanes + validity mask)."""
+
+    valid: np.ndarray        # (C,) bool
+    freq: np.ndarray         # (C,) float32  baseband Hz (tuned)
+    snr: np.ndarray          # (C,) float32  6 Hz SNR, dB
+    sync: np.ndarray         # (C,) float32  coarse sync score
+    shift: np.ndarray        # (C,) int32    time offset, samples (128*k0)
+    mode: np.ndarray         # (C,) int32    MODE_LINEAR / MODE_NONLINEAR
+    drift: np.ndarray        # (C,) float32  linear drift (symbols/frame)
+    slm_params: np.ndarray   # (C, 4) float32 (V1, V2, p1, p2)
+
+    @property
+    def n(self) -> int:
+        return int(self.valid.sum())
+
+
+# ---------------------------------------------------------------------------
+# stages 2+3: noise-normalized smoothed spectrum and peak picking
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("hpbm", "m"))
+def smoothed_snr_spectrum(ps: jnp.ndarray, *, hpbm: int, m: int) -> jnp.ndarray:
+    """(..., n, size) power -> (..., 2*hpbm) SNR-normalized smooth spectrum."""
+    psavg = ps.sum(axis=-2)                               # (..., size)
+    finpb = 2 * hpbm
+    lo = m - hpbm
+    # +/-3-bin box smoothing over the passband (zero-padded at array edges)
+    pad = jnp.pad(psavg, [(0, 0)] * (psavg.ndim - 1) + [(3, 3)])
+    idx = lo + jnp.arange(finpb)
+    sm = sum(pad[..., idx + 3 + j] for j in range(-3, 4))
+    # 30th percentile noise floor
+    srt = jnp.sort(sm, axis=-1)
+    noise = srt[..., int(np.floor(0.3 * finpb))]
+    snr = sm / noise[..., None] - 1.0
+    min_snr = 10.0 ** (-7.0 / 10.0)
+    return jnp.where(snr < min_snr, 0.1 * min_snr, snr).astype(jnp.float32)
+
+
+def detect_peaks(smspec: np.ndarray, cfg: CoarseConfig
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side peak pick: returns (valid (C,), bin_if0 (C,), snr_db (C,)).
+
+    bin_if0 is the absolute ps column index (if0 = peak_j - hpbm + m).
+    Ascending-frequency cap at maxfreqs, then stable sort by SNR descending
+    (== the reference's scan order + stable bubble sort).
+    """
+    finpb = 2 * cfg.hpbm
+    C = cfg.maxfreqs
+    s = np.asarray(smspec)
+    j = np.arange(1, finpb - 1)
+    is_peak = (s[j] > s[j - 1]) & (s[j] > s[j + 1])
+    peaks = j[is_peak][:C]
+    snr = 10.0 * np.log10(s[peaks])
+    order = np.argsort(-snr, kind="stable")
+    peaks, snr = peaks[order], snr[order]
+    valid = np.zeros(C, dtype=bool)
+    if0 = np.zeros(C, dtype=np.int32)
+    out_snr = np.zeros(C, dtype=np.float32)
+    npk = len(peaks)
+    valid[:npk] = True
+    if0[:npk] = peaks - cfg.hpbm + cfg.fft_size // 2
+    out_snr[:npk] = snr
+    return valid, if0, out_snr
+
+
+# ---------------------------------------------------------------------------
+# stage 4: dense sync-score grid (MXU einsum)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_lags",))
+def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
+                      offsets: jnp.ndarray, sync_sign: jnp.ndarray,
+                      *, n_lags: int = 26) -> jnp.ndarray:
+    """Score sync correlation over (candidate, freq+/-2, lag, model).
+
+    ps: (n, size) power; if0: (C,) candidate center bins;
+    offsets: (M, 162) int32; sync_sign: (162,) +/-1.
+    Returns sync (C, 5, n_lags, M) = ss/pow in float32.
+    """
+    n, size = ps.shape
+    r = jnp.sqrt(ps)                                       # (n, size)
+    pad = jnp.pad(r, ((0, 0), (_D_MAX + 3, _D_MAX + 3)))
+    f = jnp.arange(size) + _D_MAX + 3
+    # powersum kernels at every (row, bin): A = sync metric, B = total power
+    A = (pad[:, f - 1] + pad[:, f + 3]) - (pad[:, f - 3] + pad[:, f + 1])
+    B = pad[:, f - 3] + pad[:, f - 1] + pad[:, f + 1] + pad[:, f + 3]
+    # shifted copies: S[row, d, f] = X[row, f + d + _D_MIN]
+    padA = jnp.pad(A, ((0, 0), (_N_SHIFTS, _N_SHIFTS)))
+    padB = jnp.pad(B, ((0, 0), (_N_SHIFTS, _N_SHIFTS)))
+    d = jnp.arange(_N_SHIFTS)[None, :, None]
+    fidx = jnp.arange(size)[None, None, :] + d + (_D_MIN + _N_SHIFTS)
+    SA = jnp.take_along_axis(padA[:, None, :], fidx, axis=2)   # (n, D, size)
+    SB = jnp.take_along_axis(padB[:, None, :], fidx, axis=2)
+    # gather rows kidx = k0 + 2k  -> (lags, 162, D, size)
+    k0 = jnp.arange(n_lags)[:, None]
+    kidx = k0 + 2 * jnp.arange(162)[None, :]
+    XA = SA[kidx]                                          # (w, k, D, size)
+    XB = SB[kidx]
+    # one-hot model weights over (symbol, shift)
+    M = offsets.shape[0]
+    onehot = jax.nn.one_hot(offsets - _D_MIN, _N_SHIFTS, dtype=jnp.float32)
+    W_ss = onehot * sync_sign[None, :, None].astype(jnp.float32)   # (M, k, D)
+    W_pw = onehot
+    ss = jnp.einsum("mkd,wkdf->wmf", W_ss, XA,
+                    preferred_element_type=jnp.float32)
+    pw = jnp.einsum("mkd,wkdf->wmf", W_pw, XB,
+                    preferred_element_type=jnp.float32)
+    # per-candidate frequency gather: ifr = if0 + (-2..2)
+    ifr = if0[:, None] + jnp.arange(-2, 3)[None, :]        # (C, 5)
+    ss_c = ss[:, :, ifr]                                   # (w, m, C, 5)
+    pw_c = pw[:, :, ifr]
+    sync = ss_c / pw_c
+    return jnp.transpose(sync, (2, 3, 0, 1)).astype(jnp.float32)  # (C,5,w,M)
+
+
+# ---------------------------------------------------------------------------
+# stage 5: exact sequential selection
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def select_best(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
+                *, threshold: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reproduce the reference's order-dependent best-model selection.
+
+    sync: (C, 5, W, M) scores in evaluation order (freq, lag, model).
+    Returns (best_sync (C,), best_flat_index (C,)).
+    """
+    C = sync.shape[0]
+    flat = sync.reshape(C, -1).T                           # (steps, C)
+    n_steps = flat.shape[0]
+    Mdim = sync.shape[3]
+    step_is_nl = jnp.tile(is_nonlinear, n_steps // Mdim)
+
+    def body(carry, xs):
+        best, best_idx, j = carry
+        v, nl = xs
+        lin_upd = (~nl) & (v > best)
+        ratio = v / best
+        nl_upd = nl & (ratio > threshold)
+        upd = lin_upd | nl_upd
+        best = jnp.where(upd, v, best)
+        best_idx = jnp.where(upd, j, best_idx)
+        return (best, best_idx, j + 1), None
+
+    init = (jnp.full(C, -1e30, jnp.float32), jnp.zeros(C, jnp.int32),
+            jnp.int32(0))
+    (best, best_idx, _), _ = jax.lax.scan(body, init, (flat, step_is_nl))
+    return best, best_idx
+
+
+# ---------------------------------------------------------------------------
+# top level
+# ---------------------------------------------------------------------------
+
+
+class CoarseSearch:
+    """Configured coarse search over one or many 45000-sample windows."""
+
+    def __init__(self, cfg: CoarseConfig | None = None):
+        self.cfg = cfg or CoarseConfig()
+        if self.cfg.halfbandwidth > self.cfg.fs // 2:
+            raise ValueError("halfbandwidth must be below fs/2")
+        self.models = build_drift_models(self.cfg)
+        self._sign = (2.0 * SYNC_VECTOR.astype(np.float32) - 1.0)
+
+    def power_spectrum(self, z: np.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        return stft_power(jnp.asarray(z, jnp.complex64), n_ffts=cfg.n_ffts,
+                          size=cfg.fft_size, hop=cfg.spb // 2)
+
+    def __call__(self, z: np.ndarray) -> Candidates:
+        """One window -> candidate batch."""
+        cfg = self.cfg
+        ps = self.power_spectrum(z)
+        sm = smoothed_snr_spectrum(ps, hpbm=cfg.hpbm, m=cfg.fft_size // 2)
+        valid, if0, snr = detect_peaks(np.asarray(sm), cfg)
+        sync = coarse_score_grid(ps, jnp.asarray(if0),
+                                 jnp.asarray(self.models.offsets),
+                                 jnp.asarray(self._sign))
+        best, best_idx = select_best(sync, jnp.asarray(self.models.is_nonlinear),
+                                     threshold=float(cfg.threshold))
+        best = np.asarray(best)
+        best_idx = np.asarray(best_idx)
+        Mdim = self.models.offsets.shape[0]
+        fi = best_idx // (26 * Mdim)
+        k0 = (best_idx // Mdim) % 26
+        mm = best_idx % Mdim
+        m_half = cfg.fft_size // 2
+        ifr = if0 + (fi - 2)
+        freq = (ifr - m_half) * cfg.df
+        return Candidates(
+            valid=valid,
+            freq=freq.astype(np.float32),
+            snr=snr,
+            sync=best.astype(np.float32),
+            shift=(128 * k0).astype(np.int32),
+            mode=np.where(self.models.is_nonlinear[mm], MODE_NONLINEAR,
+                          MODE_LINEAR).astype(np.int32),
+            drift=self.models.drift[mm],
+            slm_params=self.models.slm_params[mm],
+        )
+
+
+__all__ = [
+    "CoarseSearch", "Candidates", "DriftModelBank", "build_drift_models",
+    "smoothed_snr_spectrum", "detect_peaks", "coarse_score_grid",
+    "select_best", "MODE_LINEAR", "MODE_NONLINEAR",
+]

@@ -1,0 +1,259 @@
+"""Fine sync and soft-symbol demodulation (reference "sync_and_demodulate").
+
+The reference refines each candidate's (lag, frequency, drift) with an
+iterative 3-mode kernel that regenerates 4 tone waveforms per symbol by a
+cos/sin phase recurrence and correlates 256 samples at a time
+(lib/sync_and_demodulate_impl.cc:126-256), then extracts soft symbols and
+retries Fano over up to 17 "jiggled" time shifts (:457-482).
+
+TPU re-design: each stage evaluates its whole probe grid densely —
+
+    corr[c, l, i, j] = sum_k z[lag+256*i+k] * exp(-2*pi*j*(f_probe + drift_i
+                        + tone_j) * k * dt)
+
+factorized as (signal gather) x (per-candidate drift phasor, VPU) x
+(per-probe tone bank, one (162,256)@(256,F*4) MXU matmul per candidate).
+The staged schedule (coarse lag +/-128/64 -> freq +/-0.5/0.25 -> linear
+drift +/-0.5 -> fine lag +/-32/16 -> fine freq +/-0.1/0.05 -> 17 jiggles)
+follows the reference exactly, with all candidates batched; grid argmaxes
+use first-max-wins order (freq outer, lag inner) to mirror the strict-
+greater update rule.
+
+Reference quirks handled:
+- correlation guard ``0 < n < np`` excludes sample 0 (impl.cc:205);
+- soft symbols: clamp to [-128, 127] *before* +128 bias, then C float->
+  uint8 truncation == floor (impl.cc:247-252);
+- the reference's nonlinear branch uses an *uninitialized* symbol time
+  (the ``t = i*111/162`` statement at impl.cc:177 is dead code between case
+  labels — a latent reference bug). We deliberately fix it to the coarse
+  search's integer-truncated t = i*111//162 (FDR_impl.cc:382) and document
+  the divergence here.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uwspr_tpu.coarse.search import MODE_NONLINEAR, Candidates
+from uwspr_tpu.config import CoarseConfig, DemodConfig
+from uwspr_tpu.models import slm
+from uwspr_tpu.protocol.constants import (
+    SAMPLE_RATE,
+    SYNC_VECTOR,
+    TONE_OFFSETS,
+    TONE_SPACING,
+)
+
+_DT = 1.0 / SAMPLE_RATE
+_TONES_HZ = (TONE_OFFSETS * TONE_SPACING).astype(np.float32)  # (4,)
+
+
+def drift_offsets(cands: Candidates, drift1: np.ndarray, cf: float
+                  ) -> np.ndarray:
+    """(C, 162) per-symbol frequency offset in Hz for each candidate.
+
+    linear: (drift1/2) * (i-81)/81   (impl.cc:173)
+    nonlinear: SLM drift at t = i*111//162 whole seconds (see module doc).
+    """
+    C = len(cands.freq)
+    i = np.arange(162, dtype=np.float64)
+    lin = (drift1[:, None] / 2.0) * (i[None, :] - 81.0) / 81.0
+    t = (np.arange(162) * 111 // 162).astype(np.float64)
+    v1 = cands.slm_params[:, 0:1].astype(np.float64)
+    v2 = cands.slm_params[:, 1:2].astype(np.float64)
+    p1 = cands.slm_params[:, 2:3].astype(np.float64)
+    p2 = cands.slm_params[:, 3:4].astype(np.float64)
+    nl = slm.slm_frequency_drift(v1, v2, p1, p2, cf, t[None, :])
+    is_nl = (cands.mode == MODE_NONLINEAR)[:, None]
+    return np.where(is_nl, nl, lin).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_lags", "want_symbols"))
+def eval_probe_grid(z: jnp.ndarray, lags: jnp.ndarray, freqs: jnp.ndarray,
+                    drift_sym: jnp.ndarray, *, n_lags: int,
+                    want_symbols: bool = False):
+    """Evaluate sync for every (candidate, freq, lag) probe.
+
+    z: (N,) complex64; lags: (C, L) int32; freqs: (C, F) float32 absolute
+    probe frequencies; drift_sym: (C, 162) float32 per-symbol drift in Hz.
+
+    Returns sync (C, F, L) float32 and, if want_symbols, the per-symbol
+    tone powers p (C, F, L, 162, 4) float32.
+    """
+    N = z.shape[0]
+    C, F = freqs.shape
+    k = jnp.arange(256, dtype=jnp.float32)
+    # per-candidate drift phasor (C, 162, 256)
+    wd = (-2.0 * jnp.pi * _DT) * drift_sym[..., None] * k
+    phasor_d = jax.lax.complex(jnp.cos(wd), jnp.sin(wd))
+    # tone bank per probe frequency: (C, F, 4, 256) -> (C, F*4, 256)
+    ft = freqs[..., None] + jnp.asarray(_TONES_HZ)            # (C, F, 4)
+    wb = (-2.0 * jnp.pi * _DT) * ft[..., None] * k            # (C,F,4,256)
+    bank = jax.lax.complex(jnp.cos(wb), jnp.sin(wb)).reshape(C, F * 4, 256)
+
+    sym_base = (jnp.arange(162) * 256)[:, None] + jnp.arange(256)[None, :]
+
+    def one_lag(lag_c):
+        n = lag_c[:, None, None] + sym_base[None]             # (C, 162, 256)
+        mask = (n > 0) & (n < N)
+        zz = z[jnp.clip(n, 0, N - 1)] * mask
+        zd = zz * phasor_d
+        corr = jnp.einsum("cik,cmk->cim", zd, bank,
+                          preferred_element_type=jnp.complex64)
+        return jnp.abs(corr).reshape(C, 162, F, 4)            # power p
+
+    ps = [one_lag(lags[:, l]) for l in range(n_lags)]
+    p = jnp.stack(ps, axis=1)                                 # (C, L, 162, F, 4)
+    p = jnp.transpose(p, (0, 3, 1, 2, 4))                     # (C, F, L, 162, 4)
+
+    sign = jnp.asarray(2.0 * SYNC_VECTOR.astype(np.float32) - 1.0)
+    cmet = (p[..., 1] + p[..., 3]) - (p[..., 0] + p[..., 2])  # (C,F,L,162)
+    ss = jnp.einsum("cfli,i->cfl", cmet, sign)
+    totp = p.sum(axis=(-2, -1))
+    sync = (ss / totp).astype(jnp.float32)
+    if want_symbols:
+        return sync, p
+    return sync
+
+
+def _first_argmax(sync: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(C, F, L) -> best (fi, li) per candidate, first-max-wins in C order."""
+    C, F, L = sync.shape
+    flat = sync.reshape(C, -1)
+    idx = flat.argmax(axis=1)
+    return idx // L, idx % L
+
+
+@dataclass
+class Refined:
+    """Per-candidate state after the staged refinement."""
+
+    freq: np.ndarray          # (C,) f1
+    shift: np.ndarray         # (C,) shift1
+    drift: np.ndarray         # (C,) drift1
+    sync: np.ndarray          # (C,) sync1
+    worth_a_try: np.ndarray   # (C,) bool
+
+
+class FineSync:
+    def __init__(self, demod_cfg: DemodConfig | None = None,
+                 coarse_cfg: CoarseConfig | None = None):
+        self.cfg = demod_cfg or DemodConfig()
+        self.coarse = coarse_cfg or CoarseConfig()
+
+    # -- staged refinement (reference impl.cc:389-456) ---------------------
+
+    def refine(self, z: np.ndarray, cands: Candidates) -> Refined:
+        zj = jnp.asarray(z, jnp.complex64)
+        C = len(cands.freq)
+        f1 = cands.freq.astype(np.float32).copy()
+        shift1 = cands.shift.astype(np.int32).copy()
+        drift1 = cands.drift.astype(np.float32).copy()
+        cf = float(self.coarse.cf)
+
+        def stage(lag_grid, freq_grid, dsym):
+            sync = eval_probe_grid(zj, jnp.asarray(lag_grid, jnp.int32),
+                                   jnp.asarray(freq_grid, jnp.float32),
+                                   jnp.asarray(dsym),
+                                   n_lags=lag_grid.shape[1])
+            return np.asarray(sync)
+
+        dsym = drift_offsets(cands, drift1, cf)
+
+        # stage 0: coarse lag search, +/-128 step 64
+        lag_grid = shift1[:, None] + np.arange(-128, 129, 64)[None, :]
+        sync = stage(lag_grid, f1[:, None], dsym)
+        fi, li = _first_argmax(sync)
+        shift1 = lag_grid[np.arange(C), li].astype(np.int32)
+        sync1 = sync[np.arange(C), 0, li]
+
+        # stage 1: coarse freq search, +/-2 * 0.25 Hz
+        freq_grid = f1[:, None] + (np.arange(-2, 3) * 0.25)[None, :]
+        sync = stage(shift1[:, None], freq_grid.astype(np.float32), dsym)
+        fi, li = _first_argmax(sync)
+        f1 = freq_grid[np.arange(C), fi].astype(np.float32)
+        sync1 = sync[np.arange(C), fi, 0]
+
+        # stage 2 (linear only): drift +/- 0.5 refinement.  The reference
+        # evaluates both probes against the *base* sync and applies them as
+        # if/else-if — the minus probe never fires when plus won
+        # (impl.cc:423-441).
+        is_lin = cands.mode != MODE_NONLINEAR
+        driftp = drift1 + np.float32(0.5)
+        driftm = drift1 - np.float32(0.5)
+        syncp = stage(shift1[:, None], f1[:, None],
+                      drift_offsets(cands, driftp, cf))[:, 0, 0]
+        syncm = stage(shift1[:, None], f1[:, None],
+                      drift_offsets(cands, driftm, cf))[:, 0, 0]
+        updp = is_lin & (syncp > sync1)
+        updm = is_lin & ~updp & (syncm > sync1)
+        drift1 = np.where(updp, driftp,
+                          np.where(updm, driftm, drift1)).astype(np.float32)
+        sync1 = np.where(updp, syncp, np.where(updm, syncm, sync1))
+        dsym = drift_offsets(cands, drift1, cf)
+
+        # stage 3: fine lag (+/-32 step 16) and fine freq (+/-2 * 0.05)
+        worth = sync1 > self.cfg.minsync1
+        lag_grid = shift1[:, None] + np.arange(-32, 33, 16)[None, :]
+        sync = stage(lag_grid, f1[:, None], dsym)
+        fi, li = _first_argmax(sync)
+        shift1 = np.where(worth, lag_grid[np.arange(C), li], shift1
+                          ).astype(np.int32)
+        sync1 = np.where(worth, sync[np.arange(C), 0, li], sync1)
+
+        freq_grid = (f1[:, None] + (np.arange(-2, 3) * 0.05)[None, :]
+                     ).astype(np.float32)
+        sync = stage(shift1[:, None], freq_grid, dsym)
+        fi, li = _first_argmax(sync)
+        f1 = np.where(worth, freq_grid[np.arange(C), fi], f1
+                      ).astype(np.float32)
+        sync1 = np.where(worth, sync[np.arange(C), fi, 0], sync1)
+
+        return Refined(freq=f1, shift=shift1, drift=drift1,
+                       sync=sync1.astype(np.float32),
+                       worth_a_try=worth & cands.valid)
+
+    # -- mode-2 soft symbols over all jiggled shifts -----------------------
+
+    def jiggle_offsets(self) -> np.ndarray:
+        """ii sequence 0, -8, +8, -16, ... (impl.cc:460-464)."""
+        idt = np.arange(self.cfg.n_jiggles)
+        ii = (idt + 1) // 2
+        ii = np.where(idt % 2 == 1, -ii, ii)
+        return (ii * self.cfg.iifac).astype(np.int32)
+
+    def soft_symbols(self, z: np.ndarray, cands: Candidates, ref: Refined
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (symbols (C, J, 162) uint8, sync (C, J), rms (C, J))."""
+        zj = jnp.asarray(z, jnp.complex64)
+        C = len(ref.freq)
+        jig = self.jiggle_offsets()
+        lag_grid = ref.shift[:, None] + jig[None, :]          # (C, J)
+        dsym = drift_offsets(cands, ref.drift, float(self.coarse.cf))
+        sync, p = eval_probe_grid(zj, jnp.asarray(lag_grid, jnp.int32),
+                                  jnp.asarray(ref.freq[:, None]),
+                                  jnp.asarray(dsym),
+                                  n_lags=lag_grid.shape[1], want_symbols=True)
+        sync = np.asarray(sync)[:, 0, :]                      # (C, J)
+        p = np.asarray(p)[:, 0]                               # (C, J, 162, 4)
+        sync_bit = SYNC_VECTOR.astype(bool)[None, None, :]
+        fsymb = np.where(sync_bit, p[..., 3] - p[..., 1],
+                         p[..., 2] - p[..., 0]).astype(np.float32)
+        fsum = fsymb.mean(axis=-1, keepdims=True)
+        f2sum = (fsymb * fsymb).mean(axis=-1, keepdims=True)
+        fac = np.sqrt(f2sum - fsum * fsum)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scaled = self.cfg.symfac * fsymb / fac
+        scaled = np.clip(np.nan_to_num(scaled), -128.0, 127.0)
+        symbols = np.floor(scaled + 128.0).astype(np.uint8)
+        y = symbols.astype(np.float32) - 128.0
+        rms = np.sqrt((y * y).mean(axis=-1))
+        return symbols, sync, rms
+
+
+__all__ = ["FineSync", "Refined", "eval_probe_grid", "drift_offsets"]

@@ -83,7 +83,10 @@ def nhash(key: bytes | str, initval: int = 146) -> int:
 
 def unpack50(data: bytes | np.ndarray) -> tuple[int, int]:
     """7+ bytes -> (n1: 28-bit callsign field, n2: 22-bit grid+power field)."""
-    d = [int(x) & 255 for x in bytes(bytearray(np.asarray(data, dtype=np.uint8)[:7]))]
+    if isinstance(data, (bytes, bytearray)):
+        d = [int(x) & 255 for x in data[:7]]
+    else:
+        d = [int(x) & 255 for x in np.asarray(data, dtype=np.uint8)[:7]]
     n1 = (d[0] << 20) | (d[1] << 12) | (d[2] << 4) | ((d[3] >> 4) & 15)
     n2 = ((d[3] & 15) << 18) | (d[4] << 10) | (d[5] << 2) | ((d[6] >> 6) & 3)
     return n1, n2

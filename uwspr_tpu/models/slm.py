@@ -39,6 +39,17 @@ def slm_frequency_drift(v1, v2, p1, p2, cf, t):
     return out
 
 
+def slm_frequency_drift_jnp(v1, v2, p1, p2, cf, t):
+    """JAX float32 variant of slm_frequency_drift (device pipelines)."""
+    import jax.numpy as jnp
+    q1 = v1 * t + p1
+    q2 = v2 * t + p2
+    num = v1 * q1 + v2 * q2
+    den = jnp.sqrt(q1 * q1 + q2 * q2)
+    return jnp.where(den == 0.0, 0.0,
+                     -num / jnp.where(den == 0.0, 1.0, den) * (cf / SOUND_SPEED))
+
+
 def trajectory_grid() -> np.ndarray:
     """(125, 4) float64 array of (V1, V2, p1, p2) in reference generator order.
 

@@ -1,0 +1,268 @@
+"""Fully on-device window decoder: one jittable function from samples to
+packed messages. This is the serving/TPU path (and the flagship entry point
+compiled by __graft_entry__): the host WindowDecoder shares the same kernels
+but orchestrates stages from Python for flexibility.
+
+decode_window(z) runs, entirely inside one XLA program:
+  STFT power -> smoothed SNR spectrum -> device peak pick -> dense coarse
+  drift-model scoring (MXU einsum) -> exact sequential model selection ->
+  staged fine sync -> soft symbols for all jiggles -> sync/rms gates ->
+  batched lockstep Fano -> first-success selection -> (C, 7) payload bytes.
+
+Message-to-text unpacking (strings, hashtable) stays on the host; a (C, 7)
+uint8 payload array is the device/host boundary, mirroring the reference's
+7-byte blob PDUs (lib/sync_and_demodulate_impl.cc:528-530).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uwspr_tpu.coarse.search import (
+    build_drift_models,
+    coarse_score_grid,
+    select_best,
+    smoothed_snr_spectrum,
+)
+from uwspr_tpu.config import PipelineConfig
+from uwspr_tpu.demod.finesync import eval_probe_grid
+from uwspr_tpu.fec.fano_jax import fano_decode_batch_jax
+from uwspr_tpu.models.slm import slm_frequency_drift_jnp
+from uwspr_tpu.ops.stft import stft_power
+from uwspr_tpu.protocol.constants import (
+    FANO_METTAB,
+    INTERLEAVE_PERM,
+    SYNC_VECTOR,
+)
+
+
+@dataclass
+class DeviceDecoderOutput:
+    """Per-candidate arrays returned by decode_window (all length C)."""
+
+    success: np.ndarray       # bool
+    payload: np.ndarray       # (C, 7) uint8 packed message
+    freq: np.ndarray
+    snr: np.ndarray
+    sync: np.ndarray
+    shift: np.ndarray
+    drift: np.ndarray
+    mode: np.ndarray
+    jiggle: np.ndarray
+    valid: np.ndarray
+
+
+class DeviceDecoder:
+    """Configuration-baked jittable decoder."""
+
+    def __init__(self, config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+        cfg = self.config.coarse
+        models = build_drift_models(cfg)
+        self._offsets = jnp.asarray(models.offsets)
+        self._is_nl = jnp.asarray(models.is_nonlinear)
+        self._model_drift = jnp.asarray(models.drift)
+        self._model_slm = jnp.asarray(models.slm_params)
+        self._sign = jnp.asarray(2.0 * SYNC_VECTOR.astype(np.float32) - 1.0)
+        self._sync_bit = jnp.asarray(SYNC_VECTOR.astype(bool))
+        self._mettab = jnp.asarray(FANO_METTAB)
+        self._perm = jnp.asarray(INTERLEAVE_PERM)
+        dcfg = self.config.demod
+        idt = np.arange(dcfg.n_jiggles)
+        ii = (idt + 1) // 2
+        ii = np.where(idt % 2 == 1, -ii, ii) * dcfg.iifac
+        self._jiggles = jnp.asarray(ii.astype(np.int32))
+        self.decode_window = jax.jit(self._decode_window)
+
+    # -- coarse: device peak pick -----------------------------------------
+
+    def _peaks(self, sm: jnp.ndarray):
+        cfg = self.config.coarse
+        finpb = 2 * cfg.hpbm
+        C = cfg.maxfreqs
+        m = cfg.fft_size // 2
+        j = jnp.arange(finpb)
+        left = jnp.roll(sm, 1)
+        right = jnp.roll(sm, -1)
+        is_peak = (sm > left) & (sm > right) & (j >= 1) & (j <= finpb - 2)
+        rank = jnp.cumsum(is_peak)
+        keep = is_peak & (rank <= C)
+        key = jnp.where(keep, j, finpb + 1)
+        key = jnp.concatenate([key, jnp.full((C,), finpb + 1, key.dtype)])
+        sel = jnp.sort(key)[:C]
+        valid = sel < finpb
+        sel = jnp.minimum(sel, finpb - 1)
+        snr_db = 10.0 * jnp.log10(sm[sel])
+        sortkey = jnp.where(valid, -snr_db, jnp.inf)
+        order = jnp.argsort(sortkey, stable=True)
+        sel, valid, snr_db = sel[order], valid[order], snr_db[order]
+        if0 = sel - cfg.hpbm + m
+        return valid, if0.astype(jnp.int32), jnp.where(valid, snr_db, 0.0)
+
+    # -- demod helpers -----------------------------------------------------
+
+    def _drift_offsets(self, mode, drift, slm_params):
+        """(C,) metadata -> (C, 162) per-symbol drift in Hz (float32)."""
+        i = jnp.arange(162, dtype=jnp.float32)
+        lin = (drift[:, None] / 2.0) * (i[None, :] - 81.0) / 81.0
+        t = ((jnp.arange(162) * 111) // 162).astype(jnp.float32)
+        nl = slm_frequency_drift_jnp(
+            slm_params[:, 0:1], slm_params[:, 1:2], slm_params[:, 2:3],
+            slm_params[:, 3:4], float(self.config.coarse.cf), t[None, :])
+        return jnp.where((mode == 1)[:, None], nl, lin).astype(jnp.float32)
+
+    @staticmethod
+    def _first_argmax(sync):
+        C, F, L = sync.shape
+        flat = sync.reshape(C, -1)
+        idx = jnp.argmax(flat, axis=1)
+        return idx // L, idx % L
+
+    # -- the full device program ------------------------------------------
+
+    def _decode_window(self, z: jnp.ndarray) -> dict:
+        cfg = self.config.coarse
+        dcfg = self.config.demod
+        z = z.astype(jnp.complex64)
+        C = cfg.maxfreqs
+        cidx = jnp.arange(C)
+
+        # ---- coarse search ----
+        ps = stft_power(z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
+                        hop=cfg.spb // 2)
+        sm = smoothed_snr_spectrum(ps, hpbm=cfg.hpbm, m=cfg.fft_size // 2)
+        valid, if0, snr = self._peaks(sm)
+        syncgrid = coarse_score_grid(ps, if0, self._offsets, self._sign)
+        best, best_idx = select_best(syncgrid, self._is_nl,
+                                     threshold=float(cfg.threshold))
+        Mdim = self._offsets.shape[0]
+        fi = best_idx // (26 * Mdim)
+        k0 = (best_idx // Mdim) % 26
+        mm = best_idx % Mdim
+        m_half = cfg.fft_size // 2
+        freq = ((if0 + fi - 2) - m_half) * jnp.float32(cfg.df)
+        shift = (128 * k0).astype(jnp.int32)
+        mode = jnp.where(self._is_nl[mm], 1, 0).astype(jnp.int32)
+        drift = self._model_drift[mm]
+        slm_params = self._model_slm[mm]
+
+        # ---- staged fine sync (mirrors demod.finesync.FineSync.refine) ----
+        f1 = freq.astype(jnp.float32)
+        shift1 = shift
+        drift1 = drift
+        dsym = self._drift_offsets(mode, drift1, slm_params)
+
+        lag_grid = shift1[:, None] + jnp.arange(-128, 129, 64)[None, :]
+        s = eval_probe_grid(z, lag_grid.astype(jnp.int32), f1[:, None], dsym,
+                            n_lags=5)
+        _, li = self._first_argmax(s)
+        shift1 = lag_grid[cidx, li].astype(jnp.int32)
+        sync1 = s[cidx, 0, li]
+
+        freq_grid = f1[:, None] + (jnp.arange(-2, 3) * 0.25)[None, :]
+        s = eval_probe_grid(z, shift1[:, None], freq_grid.astype(jnp.float32),
+                            dsym, n_lags=1)
+        fi2, _ = self._first_argmax(s)
+        f1 = freq_grid[cidx, fi2].astype(jnp.float32)
+        sync1 = s[cidx, fi2, 0]
+
+        is_lin = mode != 1
+        driftp = drift1 + 0.5
+        driftm = drift1 - 0.5
+        sp = eval_probe_grid(z, shift1[:, None], f1[:, None],
+                             self._drift_offsets(mode, driftp, slm_params),
+                             n_lags=1)[:, 0, 0]
+        sm_ = eval_probe_grid(z, shift1[:, None], f1[:, None],
+                              self._drift_offsets(mode, driftm, slm_params),
+                              n_lags=1)[:, 0, 0]
+        updp = is_lin & (sp > sync1)
+        updm = is_lin & ~updp & (sm_ > sync1)
+        drift1 = jnp.where(updp, driftp, jnp.where(updm, driftm, drift1))
+        sync1 = jnp.where(updp, sp, jnp.where(updm, sm_, sync1))
+        dsym = self._drift_offsets(mode, drift1, slm_params)
+
+        worth = sync1 > dcfg.minsync1
+        lag_grid = shift1[:, None] + jnp.arange(-32, 33, 16)[None, :]
+        s = eval_probe_grid(z, lag_grid.astype(jnp.int32), f1[:, None], dsym,
+                            n_lags=5)
+        _, li = self._first_argmax(s)
+        shift1 = jnp.where(worth, lag_grid[cidx, li], shift1).astype(jnp.int32)
+        sync1 = jnp.where(worth, s[cidx, 0, li], sync1)
+
+        freq_grid = (f1[:, None] + (jnp.arange(-2, 3) * 0.05)[None, :]
+                     ).astype(jnp.float32)
+        s = eval_probe_grid(z, shift1[:, None], freq_grid, dsym, n_lags=1)
+        fi2, _ = self._first_argmax(s)
+        f1 = jnp.where(worth, freq_grid[cidx, fi2], f1).astype(jnp.float32)
+        sync1 = jnp.where(worth, s[cidx, fi2, 0], sync1)
+        worth = worth & valid
+
+        # ---- soft symbols over all jiggles ----
+        J = dcfg.n_jiggles
+        lag_grid = shift1[:, None] + self._jiggles[None, :]
+        sync2, p = eval_probe_grid(z, lag_grid.astype(jnp.int32),
+                                   f1[:, None], dsym, n_lags=J,
+                                   want_symbols=True)
+        sync2 = sync2[:, 0, :]                                # (C, J)
+        p = p[:, 0]                                           # (C, J, 162, 4)
+        fsymb = jnp.where(self._sync_bit[None, None, :],
+                          p[..., 3] - p[..., 1], p[..., 2] - p[..., 0])
+        fsum = fsymb.mean(axis=-1, keepdims=True)
+        f2sum = (fsymb * fsymb).mean(axis=-1, keepdims=True)
+        fac = jnp.sqrt(f2sum - fsum * fsum)
+        scaled = dcfg.symfac * fsymb / jnp.maximum(fac, 1e-12)
+        scaled = jnp.clip(jnp.nan_to_num(scaled), -128.0, 127.0)
+        symbols = jnp.floor(scaled + 128.0).astype(jnp.uint8)
+        y = symbols.astype(jnp.float32) - 128.0
+        rms = jnp.sqrt((y * y).mean(axis=-1))                 # (C, J)
+
+        gate = (worth[:, None] & (sync2 > dcfg.minsync2)
+                & (rms > dcfg.minrms))                        # (C, J)
+
+        # ---- batched Fano over gated lanes ----
+        deint = symbols.reshape(C * J, 162)[:, self._perm]
+        out = fano_decode_batch_jax(deint.astype(jnp.int32), self._mettab,
+                                    gate.reshape(C * J),
+                                    maxcycles=dcfg.maxcycles,
+                                    delta=dcfg.fano_delta)
+        success = out["success"].reshape(C, J)
+        data = out["data"].reshape(C, J, -1)
+
+        # first success in jiggle order
+        any_success = jnp.any(success, axis=1)
+        jbest = jnp.argmax(success, axis=1)                   # first True
+        payload = data[cidx, jbest, :7]
+
+        return {
+            "success": any_success & worth,
+            "payload": payload,
+            "freq": f1,
+            "snr": snr,
+            "sync": sync2[cidx, jbest],
+            "shift": shift1,
+            "drift": drift1,
+            "mode": mode,
+            "jiggle": jbest.astype(jnp.int32),
+            "valid": valid,
+        }
+
+    def __call__(self, z: np.ndarray) -> DeviceDecoderOutput:
+        out = self.decode_window(jnp.asarray(z, jnp.complex64))
+        return DeviceDecoderOutput(**{k: np.asarray(v) for k, v in out.items()})
+
+    def messages(self, out: DeviceDecoderOutput, hashtable=None) -> list[str]:
+        from uwspr_tpu.protocol.messages import unpack_message
+        msgs = []
+        for c in np.flatnonzero(out.success):
+            u = unpack_message(bytes(out.payload[c]), hashtable)
+            if u is not None:
+                msgs.append(u.text)
+        return msgs
+
+
+__all__ = ["DeviceDecoder", "DeviceDecoderOutput"]

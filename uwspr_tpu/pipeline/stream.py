@@ -1,0 +1,139 @@
+"""Streaming orchestration: continuous sample streams -> overlapped windows
+-> decoded spots, with checkpoint/resume.
+
+Window semantics match the reference's sliding_window_stream_to_pdu
+(lib/sliding_window_stream_to_pdu_impl.cc:97-138): a ring buffer of
+capacity C*fl samples; once >= fl samples are buffered, emit a 120 s window
+and advance by the 9 s hop (111 s overlap), guaranteeing every 111 s frame
+lies wholly inside some window.
+
+Multi-channel streams are first-class: feed (channels, n) arrays and every
+window batch is decoded together (the TPU replaces the reference's
+block-thread pipeline parallelism with batch width, SURVEY.md section 2.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from uwspr_tpu.config import PipelineConfig, StreamConfig
+from uwspr_tpu.pipeline.decoder import DecodeResult, Spot, WindowDecoder
+from uwspr_tpu.protocol.messages import HashTable
+
+
+class SlidingWindow:
+    """Single-channel ring buffer with fl-window / shift-hop emission."""
+
+    def __init__(self, cfg: StreamConfig | None = None):
+        self.cfg = cfg or StreamConfig()
+        self._buf = np.zeros(0, dtype=np.complex64)
+
+    @property
+    def hop(self) -> int:
+        return self.cfg.shift * self.cfg.fs
+
+    def push(self, samples: np.ndarray) -> list[np.ndarray]:
+        """Append samples; return every complete window now available."""
+        cap = self.cfg.capacity_windows * self.cfg.fl
+        buf = np.concatenate(
+            [self._buf, np.asarray(samples, dtype=np.complex64)])
+        # circular-buffer overflow drops the oldest samples (reference uses
+        # a boost::circular_buffer of capacity C*fl)
+        self._buf = buf[-cap:] if len(buf) > cap else buf
+        out = []
+        while len(self._buf) >= self.cfg.fl:
+            out.append(self._buf[:self.cfg.fl].copy())
+            self._buf = self._buf[self.hop:]
+        return out
+
+    def state(self) -> np.ndarray:
+        return self._buf.copy()
+
+    def restore(self, buf: np.ndarray) -> None:
+        self._buf = np.asarray(buf, dtype=np.complex64).copy()
+
+
+@dataclass
+class StreamStats:
+    windows: int = 0
+    candidates: int = 0
+    fano_attempts: int = 0
+    spots: int = 0
+    decode_seconds: float = 0.0
+
+
+class StreamDecoder:
+    """Continuous decoder over one or many channels."""
+
+    def __init__(self, config: PipelineConfig | None = None,
+                 n_channels: int = 1, hashtable: HashTable | None = None):
+        self.config = config or PipelineConfig()
+        self.decoder = WindowDecoder(self.config, hashtable=hashtable)
+        self.windows = [SlidingWindow(self.config.stream)
+                        for _ in range(n_channels)]
+        self.stats = StreamStats()
+
+    def push(self, samples: np.ndarray) -> list[tuple[int, DecodeResult]]:
+        """samples: (n,) or (channels, n). Returns [(channel, result), ...]."""
+        samples = np.atleast_2d(np.asarray(samples, dtype=np.complex64))
+        results: list[tuple[int, DecodeResult]] = []
+        for ch, row in enumerate(samples):
+            for window in self.windows[ch].push(row):
+                t0 = time.perf_counter()
+                r = self.decoder(window)
+                self.stats.decode_seconds += time.perf_counter() - t0
+                self.stats.windows += 1
+                self.stats.candidates += r.n_candidates
+                self.stats.fano_attempts += r.n_fano_attempts
+                self.stats.spots += len(r.spots)
+                results.append((ch, r))
+        return results
+
+    # -- checkpoint/resume (SURVEY.md section 5) ---------------------------
+
+    def save_checkpoint(self, directory: str | os.PathLike) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez(os.path.join(directory, "ring_buffers.npz"),
+                 **{f"ch{i}": w.state() for i, w in enumerate(self.windows)})
+        self.decoder.hashtable.save(os.path.join(directory, "hashtable.txt"))
+        with open(os.path.join(directory, "stats.json"), "w") as f:
+            json.dump(self.stats.__dict__, f)
+
+    def load_checkpoint(self, directory: str | os.PathLike) -> None:
+        data = np.load(os.path.join(directory, "ring_buffers.npz"))
+        for i, w in enumerate(self.windows):
+            key = f"ch{i}"
+            if key in data:
+                w.restore(data[key])
+        ht_path = os.path.join(directory, "hashtable.txt")
+        if os.path.exists(ht_path):
+            self.decoder.hashtable = HashTable.load(ht_path)
+        stats_path = os.path.join(directory, "stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                self.stats = StreamStats(**json.load(f))
+
+
+@dataclass
+class SpotAggregator:
+    """Dedupe spots across overlapping windows (same message+freq bucket)."""
+
+    tolerance_hz: float = 1.5
+    seen: dict = field(default_factory=dict)
+    unique: list[Spot] = field(default_factory=list)
+
+    def add(self, spot: Spot) -> bool:
+        key = (spot.message, round(spot.freq / self.tolerance_hz))
+        if key in self.seen:
+            return False
+        self.seen[key] = spot
+        self.unique.append(spot)
+        return True
+
+
+__all__ = ["SlidingWindow", "StreamDecoder", "StreamStats", "SpotAggregator"]

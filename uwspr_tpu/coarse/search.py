@@ -279,8 +279,8 @@ class CoarseSearch:
 
     def power_spectrum(self, z: np.ndarray) -> jnp.ndarray:
         cfg = self.cfg
-        return stft_power(jnp.asarray(z, jnp.complex64), n_ffts=cfg.n_ffts,
-                          size=cfg.fft_size, hop=cfg.spb // 2)
+        return stft_power(z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
+                          hop=cfg.spb // 2)
 
     def __call__(self, z: np.ndarray) -> Candidates:
         """One window -> candidate batch."""

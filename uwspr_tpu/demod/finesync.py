@@ -73,14 +73,14 @@ def drift_offsets(cands: Candidates, drift1: np.ndarray, cf: float
     return np.where(is_nl, nl, lin).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_lags", "want_symbols"))
-def eval_probe_grid(z: jnp.ndarray, lags: jnp.ndarray, freqs: jnp.ndarray,
-                    drift_sym: jnp.ndarray, *, n_lags: int,
-                    want_symbols: bool = False):
-    """Evaluate sync for every (candidate, freq, lag) probe.
+def eval_probe_grid_core(z: jnp.ndarray, lags: jnp.ndarray, freqs: jnp.ndarray,
+                         drift_sym: jnp.ndarray, *, n_lags: int,
+                         want_symbols: bool = False):
+    """Evaluate sync for every (candidate, freq, lag) probe (in-graph).
 
-    z: (N,) complex64; lags: (C, L) int32; freqs: (C, F) float32 absolute
-    probe frequencies; drift_sym: (C, 162) float32 per-symbol drift in Hz.
+    z: (N,) complex64 traced; lags: (C, L) int32; freqs: (C, F) float32
+    absolute probe frequencies; drift_sym: (C, 162) float32 per-symbol
+    drift in Hz.
 
     Returns sync (C, F, L) float32 and, if want_symbols, the per-symbol
     tone powers p (C, F, L, 162, 4) float32.
@@ -121,6 +121,31 @@ def eval_probe_grid(z: jnp.ndarray, lags: jnp.ndarray, freqs: jnp.ndarray,
     return sync
 
 
+@functools.partial(jax.jit, static_argnames=("n_lags", "want_symbols"))
+def _eval_probe_grid_ri(ri, lags, freqs, drift_sym, *, n_lags,
+                        want_symbols=False):
+    z = jax.lax.complex(ri[0], ri[1])
+    return eval_probe_grid_core(z, lags, freqs, drift_sym, n_lags=n_lags,
+                                want_symbols=want_symbols)
+
+
+def complex_to_ri(z: np.ndarray) -> np.ndarray:
+    """(N,) complex -> (2, N) float32 — the host<->device sample ABI
+    (complex arrays cannot cross the boundary on all TPU runtimes)."""
+    z = np.asarray(z)
+    return np.stack([z.real.astype(np.float32), z.imag.astype(np.float32)])
+
+
+def eval_probe_grid(z, lags, freqs, drift_sym, *, n_lags,
+                    want_symbols=False):
+    """Host entry: numpy complex samples (or a pre-stacked (2, N) float
+    pair) -> probe grid scores."""
+    ri = z if (isinstance(z, np.ndarray) and z.ndim == 2) else complex_to_ri(z)
+    return _eval_probe_grid_ri(jnp.asarray(ri), jnp.asarray(lags),
+                               jnp.asarray(freqs), jnp.asarray(drift_sym),
+                               n_lags=n_lags, want_symbols=want_symbols)
+
+
 def _first_argmax(sync: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(C, F, L) -> best (fi, li) per candidate, first-max-wins in C order."""
     C, F, L = sync.shape
@@ -149,7 +174,7 @@ class FineSync:
     # -- staged refinement (reference impl.cc:389-456) ---------------------
 
     def refine(self, z: np.ndarray, cands: Candidates) -> Refined:
-        zj = jnp.asarray(z, jnp.complex64)
+        zj = complex_to_ri(z)
         C = len(cands.freq)
         f1 = cands.freq.astype(np.float32).copy()
         shift1 = cands.shift.astype(np.int32).copy()
@@ -157,9 +182,8 @@ class FineSync:
         cf = float(self.coarse.cf)
 
         def stage(lag_grid, freq_grid, dsym):
-            sync = eval_probe_grid(zj, jnp.asarray(lag_grid, jnp.int32),
-                                   jnp.asarray(freq_grid, jnp.float32),
-                                   jnp.asarray(dsym),
+            sync = eval_probe_grid(zj, np.asarray(lag_grid, np.int32),
+                                   np.asarray(freq_grid, np.float32), dsym,
                                    n_lags=lag_grid.shape[1])
             return np.asarray(sync)
 
@@ -230,14 +254,13 @@ class FineSync:
     def soft_symbols(self, z: np.ndarray, cands: Candidates, ref: Refined
                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (symbols (C, J, 162) uint8, sync (C, J), rms (C, J))."""
-        zj = jnp.asarray(z, jnp.complex64)
+        zj = complex_to_ri(z)
         C = len(ref.freq)
         jig = self.jiggle_offsets()
         lag_grid = ref.shift[:, None] + jig[None, :]          # (C, J)
         dsym = drift_offsets(cands, ref.drift, float(self.coarse.cf))
-        sync, p = eval_probe_grid(zj, jnp.asarray(lag_grid, jnp.int32),
-                                  jnp.asarray(ref.freq[:, None]),
-                                  jnp.asarray(dsym),
+        sync, p = eval_probe_grid(zj, np.asarray(lag_grid, np.int32),
+                                  ref.freq[:, None], dsym,
                                   n_lags=lag_grid.shape[1], want_symbols=True)
         sync = np.asarray(sync)[:, 0, :]                      # (C, J)
         p = np.asarray(p)[:, 0]                               # (C, J, 162, 4)
@@ -256,4 +279,5 @@ class FineSync:
         return symbols, sync, rms
 
 
-__all__ = ["FineSync", "Refined", "eval_probe_grid", "drift_offsets"]
+__all__ = ["FineSync", "Refined", "eval_probe_grid",
+           "eval_probe_grid_core", "complex_to_ri", "drift_offsets"]

@@ -77,14 +77,15 @@ class ShardedDecoder:
             windows = ext_row[idx]                      # (n_win, fl)
             return jax.lax.map(decode, windows)
 
-        def shard_fn(x):                                # (ch_l, block_len)
-            lead = x[:, :halo]
+        def shard_fn(x_ri):                     # (ch_l, 2, block_len) float32
+            lead = x_ri[:, :, :halo]
             if n_time > 1:
                 perm = [(i, (i - 1) % n_time) for i in range(n_time)]
                 recv = jax.lax.ppermute(lead, "time", perm=perm)
             else:
                 recv = lead
-            ext = jnp.concatenate([x, recv], axis=1)
+            ext_ri = jnp.concatenate([x_ri, recv], axis=2)
+            ext = jax.lax.complex(ext_ri[:, 0], ext_ri[:, 1])  # (ch_l, T+halo)
             out = jax.lax.map(per_channel, ext)         # dict of (ch_l, n_win, ...)
             n_local = out["success"].sum()
             n_global = jax.lax.psum(n_local, ("channel", "time"))
@@ -94,7 +95,7 @@ class ShardedDecoder:
         # start from literal constants, which the varying-axis checker would
         # require pvary annotations on at every init; execution is unaffected.
         fn = jax.shard_map(shard_fn, mesh=self.mesh,
-                           in_specs=P("channel", "time"),
+                           in_specs=P("channel", None, "time"),
                            out_specs=(P("channel", "time"), P()),
                            check_vma=False)
         return jax.jit(fn)
@@ -115,8 +116,11 @@ class ShardedDecoder:
         key = (channels // n_ch, block_len)
         if self._step is None or self._step[0] != key:
             self._step = (key, self._build(*key))
-        sharding = NamedSharding(self.mesh, P("channel", "time"))
-        xs = jax.device_put(jnp.asarray(x, jnp.complex64), sharding)
+        sharding = NamedSharding(self.mesh, P("channel", None, "time"))
+        x = np.asarray(x)
+        x_ri = np.stack([x.real.astype(np.float32),
+                         x.imag.astype(np.float32)], axis=1)
+        xs = jax.device_put(jnp.asarray(x_ri), sharding)
         return self._step[1](xs)
 
 

@@ -30,10 +30,10 @@ from uwspr_tpu.coarse.search import (
     smoothed_snr_spectrum,
 )
 from uwspr_tpu.config import PipelineConfig
-from uwspr_tpu.demod.finesync import eval_probe_grid
+from uwspr_tpu.demod.finesync import eval_probe_grid_core as eval_probe_grid
 from uwspr_tpu.fec.fano_jax import fano_decode_batch_jax
 from uwspr_tpu.models.slm import slm_frequency_drift_jnp
-from uwspr_tpu.ops.stft import stft_power
+from uwspr_tpu.ops.stft import stft_power_core as stft_power
 from uwspr_tpu.protocol.constants import (
     FANO_METTAB,
     INTERLEAVE_PERM,
@@ -77,7 +77,7 @@ class DeviceDecoder:
         ii = (idt + 1) // 2
         ii = np.where(idt % 2 == 1, -ii, ii) * dcfg.iifac
         self._jiggles = jnp.asarray(ii.astype(np.int32))
-        self.decode_window = jax.jit(self._decode_window)
+        self.decode_window_ri = jax.jit(self._decode_window_ri)
 
     # -- coarse: device peak pick -----------------------------------------
 
@@ -124,6 +124,12 @@ class DeviceDecoder:
         return idx // L, idx % L
 
     # -- the full device program ------------------------------------------
+
+    def _decode_window_ri(self, ri: jnp.ndarray) -> dict:
+        """Device ABI entry: ri is a (2, fl) float32 real/imag pair
+        (complex arrays cannot cross the host<->device boundary on all TPU
+        runtimes)."""
+        return self._decode_window(jax.lax.complex(ri[0], ri[1]))
 
     def _decode_window(self, z: jnp.ndarray) -> dict:
         cfg = self.config.coarse
@@ -252,7 +258,8 @@ class DeviceDecoder:
         }
 
     def __call__(self, z: np.ndarray) -> DeviceDecoderOutput:
-        out = self.decode_window(jnp.asarray(z, jnp.complex64))
+        from uwspr_tpu.demod.finesync import complex_to_ri
+        out = self.decode_window_ri(jnp.asarray(complex_to_ri(z)))
         return DeviceDecoderOutput(**{k: np.asarray(v) for k, v in out.items()})
 
     def messages(self, out: DeviceDecoderOutput, hashtable=None) -> list[str]:

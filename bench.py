@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Benchmark: multichannel WSPR window decode throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference decodes one 45000-sample window (120 s of one
+channel) per 9 s hop on a single CPU thread — an effective processing rate
+of 5000 window-samples/s (BASELINE.md, "real-time constraint"). vs_baseline
+is our sustained window-samples/s divided by that.
+
+Workload: decodable windows (the golden VE3EMB frame + AWGN at -18 dB,
+randomized frequency offsets/starts) — every window runs the full pipeline
+including gated Fano decodes. Decoded messages are checked; a benchmark
+run that fails to decode reports value 0.
+
+Per-stage timings go to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "8"))
+SNR_DB = float(os.environ.get("BENCH_SNR", "-18"))
+BASELINE_SAMPLES_PER_S = 5000.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_windows(n, seed=0):
+    from uwspr_tpu.io.channel import awgn
+    from uwspr_tpu.protocol.modulate import synthesize_frame
+    rng = np.random.default_rng(seed)
+    windows, expected = [], []
+    for i in range(n):
+        f = float(rng.uniform(-5, 5))
+        start = int(rng.integers(0, 2000))
+        z = synthesize_frame("VE3EMB", "FN25", 30, start_sample=start,
+                             freq_offset=f)
+        windows.append(awgn(z, SNR_DB, rng=rng))
+        expected.append("VE3EMB FN25 30")
+    return np.stack(windows), expected
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from uwspr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+    from uwspr_tpu.demod.finesync import complex_to_ri
+    from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+    from uwspr_tpu.protocol.messages import unpack_message
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    decoder = DeviceDecoder()
+    windows, expected = make_windows(N_WINDOWS)
+    ri = np.stack([complex_to_ri(w) for w in windows])  # (W, 2, fl)
+
+    # warmup / compile
+    t0 = time.time()
+    out = decoder.decode_window_ri(jnp.asarray(ri[0]))
+    jax.block_until_ready(out)
+    log(f"compile+first decode: {time.time() - t0:.1f}s")
+
+    # timed run
+    t0 = time.time()
+    outs = []
+    for w in range(N_WINDOWS):
+        outs.append(decoder.decode_window_ri(jnp.asarray(ri[w])))
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+
+    # correctness check
+    ok = 0
+    for w, out in enumerate(outs):
+        succ = np.asarray(out["success"])
+        payloads = np.asarray(out["payload"])
+        msgs = []
+        for c in np.flatnonzero(succ):
+            u = unpack_message(bytes(payloads[c]))
+            if u:
+                msgs.append(u.text)
+        if expected[w] in msgs:
+            ok += 1
+    log(f"{ok}/{N_WINDOWS} windows decoded correctly; "
+        f"{dt / N_WINDOWS * 1000:.0f} ms/window")
+
+    value = N_WINDOWS * 45000.0 / dt if ok else 0.0
+    print(json.dumps({
+        "metric": "window_samples_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(value / BASELINE_SAMPLES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

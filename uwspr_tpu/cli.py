@@ -1,0 +1,218 @@
+"""uwspr command-line interface.
+
+    python -m uwspr_tpu.cli decode examples/VE3EMB.c2
+    python -m uwspr_tpu.cli decode capture.wav --wav
+    python -m uwspr_tpu.cli encode "VE3EMB" "FN25" 30 -o frame.c2
+    python -m uwspr_tpu.cli sweep --snr -15 -30 -1 --trials 20
+    python -m uwspr_tpu.cli serve --channels 4 --windows 10
+
+Replaces the reference's GRC flowgraphs as the user-facing application
+surface (SURVEY.md section 1, GUI/flowgraph layer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _apply_platform(args):
+    """Select the JAX backend before first use. The environment may force a
+    platform (e.g. a tunneled TPU registers itself and overrides
+    JAX_PLATFORMS), so --platform goes through jax.config, which wins."""
+    if getattr(args, "platform", "auto") != "auto":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from uwspr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+
+def _make_engine(args, ht):
+    """'device': one jitted XLA program per window (TPU serving path —
+    minimizes host<->device round trips, which dominate over a tunnel).
+    'host': staged host orchestration (flexible, fast on CPU)."""
+    import jax
+    engine = args.engine
+    if engine == "auto":
+        engine = "device" if jax.default_backend() == "tpu" else "host"
+    if engine == "device":
+        from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+        dec = DeviceDecoder()
+        return dec, lambda window: dec.spots(dec(window), ht), "device"
+    from uwspr_tpu.pipeline.decoder import WindowDecoder
+    dec = WindowDecoder(hashtable=ht)
+    return dec, lambda window: dec(window).spots, "host"
+
+
+def _cmd_decode(args):
+    _apply_platform(args)
+    from uwspr_tpu.protocol.messages import HashTable
+    from uwspr_tpu.utils.spotlog import SpotLogger
+
+    ht = HashTable.load(args.hashtable) if args.hashtable else HashTable()
+    decoder, decode_spots, engine = _make_engine(args, ht)
+    logger = SpotLogger(args.messagelog, args.jsonl) if args.messagelog else None
+
+    if args.wav or str(args.file).lower().endswith(".wav"):
+        from uwspr_tpu.frontend.downconvert import downconvert
+        from uwspr_tpu.io.wavfile import read_wav
+        audio, rate = read_wav(args.file)
+        z = downconvert(audio)
+    else:
+        from uwspr_tpu.io.c2file import read_c2
+        z = read_c2(args.file).samples
+
+    fl = decoder.config.stream.fl
+    hop = decoder.config.stream.shift * decoder.config.stream.fs
+    n_windows = max(1, (len(z) - fl) // hop + 1)
+    t0 = time.time()
+    total = 0
+    for w in range(n_windows):
+        window = z[w * hop: w * hop + fl]
+        if len(window) < fl:
+            break
+        for s in decode_spots(window):
+            total += 1
+            print(f"{s.message}    (freq {s.freq:+.2f} Hz, SNR "
+                  f"{s.snr:.1f} dB, sync {s.sync:.2f}, "
+                  f"{'nonlinear' if s.mode else 'linear'})")
+            if logger:
+                logger.log(s)
+    dt = time.time() - t0
+    print(f"# {total} spot(s) from {n_windows} window(s) in {dt:.2f}s "
+          f"({engine} engine)", file=sys.stderr)
+    if args.hashtable:
+        ht.save(args.hashtable)
+
+
+def _cmd_encode(args):
+    from uwspr_tpu.io.c2file import write_c2
+    from uwspr_tpu.protocol.modulate import synthesize_frame
+
+    z = synthesize_frame(args.callsign, args.grid, args.power,
+                         start_sample=args.start,
+                         freq_offset=args.freq_offset)
+    write_c2(args.output, z, name=args.callsign[:13])
+    print(f"wrote {args.output}: '{args.callsign} {args.grid} {args.power}'"
+          f" at {args.freq_offset:+.2f} Hz, start sample {args.start}")
+
+
+def _cmd_sweep(args):
+    _apply_platform(args)
+    from uwspr_tpu.pipeline.sweep import snr_sweep
+
+    snrs = np.arange(args.snr[0], args.snr[1] + args.snr[2] / 2, args.snr[2])
+    interference = None
+    if args.whales:
+        from uwspr_tpu.frontend.downconvert import downconvert
+        from uwspr_tpu.io.wavfile import read_wav
+        audio, _ = read_wav(args.whales)
+        interference = downconvert(audio)
+
+    def progress(snr, t, ok):
+        print(f"\rSNR {snr:+6.1f} dB: trial {t + 1}, {ok} ok", end="",
+              file=sys.stderr)
+
+    r = snr_sweep(snrs, trials=args.trials, interference=interference,
+                  progress=progress)
+    print("", file=sys.stderr)
+    print(json.dumps({"trials": r.trials, "decode_rate": r.as_dict()}))
+
+
+def _cmd_serve(args):
+    """Continuous multichannel decode of synthetic traffic (throughput demo).
+
+    Frames stream contiguously across hop boundaries (a 111 s frame spans
+    ~13 hops), riding on hop-by-hop AWGN at the requested SNR — the
+    streaming analogue of the reference's closed-loop flowgraph."""
+    _apply_platform(args)
+    from uwspr_tpu.io.channel import noise_sigma
+    from uwspr_tpu.pipeline.stream import StreamDecoder
+    from uwspr_tpu.protocol.modulate import synthesize_frame
+
+    sd = StreamDecoder(n_channels=args.channels)
+    rng = np.random.default_rng(0)
+    hop = sd.windows[0].hop
+    sigma = noise_sigma(args.snr)
+    pending = [np.zeros(0, np.complex64) for _ in range(args.channels)]
+    sent = 0
+    t0 = time.time()
+    for w in range(args.windows):
+        block = (rng.normal(scale=sigma, size=(args.channels, hop))
+                 + 1j * rng.normal(scale=sigma, size=(args.channels, hop))
+                 ).astype(np.complex64)
+        for ch in range(args.channels):
+            if len(pending[ch]) == 0 and rng.random() < args.duty:
+                pending[ch] = synthesize_frame(
+                    "VE3EMB", "FN25", 30, pad_to=None,
+                    freq_offset=rng.uniform(-5, 5)).copy()
+                sent += 1
+            n = min(hop, len(pending[ch]))
+            if n:
+                block[ch, :n] += pending[ch][:n]
+                pending[ch] = pending[ch][n:]
+        for ch, r in sd.push(block):
+            for s in r.spots:
+                print(f"ch{ch}: {s.message} ({s.freq:+.2f} Hz)")
+    dt = time.time() - t0
+    st = sd.stats
+    print(f"# {st.windows} windows, {sent} frames sent, {st.spots} spots, "
+          f"{st.windows * 45000 / max(dt, 1e-9):.0f} window-samples/s",
+          file=sys.stderr)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="uwspr",
+                                description="TPU-native WSPR decoder")
+    p.add_argument("--platform", choices=["auto", "cpu", "tpu"],
+                   default="auto", help="JAX backend (default: environment)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("decode", help="decode a .c2 or .wav capture")
+    d.add_argument("file")
+    d.add_argument("--wav", action="store_true")
+    d.add_argument("--engine", choices=["auto", "host", "device"],
+                   default="auto",
+                   help="device = one XLA program per window (TPU); "
+                        "host = staged orchestration (CPU)")
+    d.add_argument("--hashtable", default=None)
+    d.add_argument("--messagelog", default=None)
+    d.add_argument("--jsonl", default=None)
+    d.set_defaults(fn=_cmd_decode)
+
+    e = sub.add_parser("encode", help="synthesize a frame to .c2 (wsprsim)")
+    e.add_argument("callsign")
+    e.add_argument("grid")
+    e.add_argument("power", type=int)
+    e.add_argument("-o", "--output", default="frame.c2")
+    e.add_argument("--freq-offset", type=float, default=0.0)
+    e.add_argument("--start", type=int, default=750)
+    e.set_defaults(fn=_cmd_encode)
+
+    s = sub.add_parser("sweep", help="closed-loop SNR sweep")
+    s.add_argument("--snr", nargs=3, type=float, default=[-15, -30, -1],
+                   metavar=("START", "STOP", "STEP"))
+    s.add_argument("--trials", type=int, default=20)
+    s.add_argument("--whales", default=None,
+                   help="wav file mixed in as interference")
+    s.set_defaults(fn=_cmd_sweep)
+
+    v = sub.add_parser("serve", help="continuous multichannel demo")
+    v.add_argument("--channels", type=int, default=4)
+    v.add_argument("--windows", type=int, default=30,
+                   help="hop-blocks to stream (first window after 14)")
+    v.add_argument("--snr", type=float, default=-18.0)
+    v.add_argument("--duty", type=float, default=0.3,
+                   help="per-hop probability of starting a new frame")
+    v.set_defaults(fn=_cmd_serve)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

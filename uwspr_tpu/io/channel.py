@@ -36,6 +36,17 @@ def awgn(samples: np.ndarray, snr_db: float, *, signal_power: float | None = Non
     return (z + noise).astype(np.complex64)
 
 
+def noise_sigma(snr_db: float, signal_power: float = 1.0,
+                noise_bandwidth: float = 2500.0) -> float:
+    """Per-component complex-AWGN sigma for a target SNR (2500 Hz ref bw).
+
+    For continuous streams where noise must be generated hop-by-hop rather
+    than added to a complete frame by :func:`awgn`."""
+    snr_lin = 10.0 ** (snr_db / 10.0)
+    noise_power = signal_power / snr_lin * (SAMPLE_RATE / noise_bandwidth)
+    return float(np.sqrt(noise_power / 2.0))
+
+
 def apply_linear_drift(samples: np.ndarray, drift_hz_per_frame: float,
                        n_symbols: int = 162) -> np.ndarray:
     """Linear drift: deviation +/- drift/2 across the frame, 0 at center.
@@ -62,4 +73,4 @@ def apply_slm_doppler(samples: np.ndarray, v1: float, v2: float, p1: float,
     return (z * np.exp(1j * phase)).astype(np.complex64)
 
 
-__all__ = ["awgn", "apply_linear_drift", "apply_slm_doppler"]
+__all__ = ["awgn", "noise_sigma", "apply_linear_drift", "apply_slm_doppler"]

@@ -53,6 +53,7 @@ class DeviceDecoderOutput:
     shift: np.ndarray
     drift: np.ndarray
     mode: np.ndarray
+    slm_params: np.ndarray    # (C, 4) V1,V2,p1,p2 (nonlinear candidates)
     jiggle: np.ndarray
     valid: np.ndarray
 
@@ -253,6 +254,7 @@ class DeviceDecoder:
             "shift": shift1,
             "drift": drift1,
             "mode": mode,
+            "slm_params": slm_params,
             "jiggle": jbest.astype(jnp.int32),
             "valid": valid,
         }
@@ -270,6 +272,31 @@ class DeviceDecoder:
             if u is not None:
                 msgs.append(u.text)
         return msgs
+
+    def spots(self, out: DeviceDecoderOutput, hashtable=None) -> list:
+        """DeviceDecoderOutput -> list[pipeline.decoder.Spot] (host unpack)."""
+        from uwspr_tpu.pipeline.decoder import Spot
+        from uwspr_tpu.protocol.messages import unpack_message
+        spots = []
+        for c in np.flatnonzero(out.success):
+            payload = bytes(out.payload[c])
+            u = unpack_message(payload, hashtable)
+            spots.append(Spot(
+                message=u.text if u is not None else "",
+                payload=payload,
+                freq=float(out.freq[c]),
+                snr=float(out.snr[c]),
+                sync=float(out.sync[c]),
+                shift=int(out.shift[c]),
+                drift=float(out.drift[c]),
+                mode=int(out.mode[c]),
+                slm_params=tuple(np.asarray(out.slm_params[c], float))
+                if int(out.mode[c]) else (),
+                candidate=int(c),
+                jiggle=int(out.jiggle[c]),
+                unpacked=u,
+            ))
+        return spots
 
 
 __all__ = ["DeviceDecoder", "DeviceDecoderOutput"]

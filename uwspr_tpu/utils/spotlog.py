@@ -1,0 +1,68 @@
+"""Spot/message logging compatible with the reference's file outputs.
+
+The reference appends decodes to ``messagelog.txt`` (start/handoff/elapsed
+times, frame counter, freq/SNR/drift, hex payload —
+lib/sync_and_demodulate_impl.cc:97-108,506-526) and maintains
+``hashtable.txt`` via the unpacker block. SpotLogger reproduces the
+messagelog format closely enough for downstream tooling, plus a structured
+JSONL sink for modern consumers.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict
+
+from uwspr_tpu.pipeline.decoder import Spot
+
+
+class SpotLogger:
+    def __init__(self, text_path: str | None = "messagelog.txt",
+                 jsonl_path: str | None = None):
+        self.start = time.time()
+        self.framecount = 0
+        self._text = open(text_path, "a") if text_path else None
+        self._jsonl = open(jsonl_path, "a") if jsonl_path else None
+        if self._text:
+            self._text.write(
+                f"Start time: {time.asctime(time.localtime(self.start))}\n\n")
+            self._text.flush()
+
+    def log(self, spot: Spot) -> None:
+        self.framecount += 1
+        if self._text:
+            now = time.time()
+            dt = int(now - self.start)
+            self._text.write(
+                f"Handoff time : {time.asctime(time.localtime(now))}\n"
+                f"Elapsed time: {dt // 3600:02d}:{(dt // 60) % 60:02d}:"
+                f"{dt % 60:02d}\n"
+                f"Frame: {self.framecount}\n"
+                f"Baseband freq is {spot.freq:2.2f} Hz\n"
+                f"(6 Hz) SNR is {spot.snr:2.2f} dB\n")
+            if spot.mode == 0:
+                self._text.write(f"Linear drift is {spot.drift:2.2f} Hz\n")
+            else:
+                v = spot.slm_params
+                self._text.write(
+                    f"Nonlinear drift  V=:({v[0]:2.2f},{v[1]:2.2f}) "
+                    f"p=({int(v[2])},{int(v[3])})\n")
+            hexmsg = "".join(f"{b:02x}" for b in spot.payload)
+            self._text.write(f"Data: {hexmsg}\n\n")
+            self._text.flush()
+        if self._jsonl:
+            d = asdict(spot)
+            d["payload"] = spot.payload.hex()
+            d.pop("unpacked", None)
+            d["time"] = time.time()
+            self._jsonl.write(json.dumps(d) + "\n")
+            self._jsonl.flush()
+
+    def close(self) -> None:
+        for f in (self._text, self._jsonl):
+            if f:
+                f.close()
+
+
+__all__ = ["SpotLogger"]

@@ -1,0 +1,79 @@
+"""Device-decoder (single-XLA-program) and mesh-sharding tests.
+
+These exercise the TPU serving path on the virtual CPU device grid; the
+real-chip run happens in bench.py.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from uwspr_tpu.config import (
+    CoarseConfig,
+    DemodConfig,
+    PipelineConfig,
+    StreamConfig,
+)
+from uwspr_tpu.io.c2file import read_c2
+from uwspr_tpu.io.channel import awgn, noise_sigma
+from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+from uwspr_tpu.protocol.modulate import synthesize_frame
+
+
+@pytest.fixture(scope="module")
+def device_decoder():
+    return DeviceDecoder()
+
+
+def test_device_golden_decode(device_decoder, reference_examples):
+    c2 = read_c2(reference_examples / "VE3EMB.c2")
+    out = device_decoder(c2.samples)
+    msgs = device_decoder.messages(out)
+    assert "VE3EMB FN25 30" in msgs
+
+
+def test_device_matches_host_on_noisy(device_decoder):
+    rng = np.random.default_rng(11)
+    z = synthesize_frame("K1ABC", "FN42", 37, start_sample=600,
+                         freq_offset=-3.0)
+    z = awgn(z, -18, rng=rng)
+    out = device_decoder(z)
+    assert "K1ABC FN42 37" in device_decoder.messages(out)
+    spots = device_decoder.spots(out)
+    assert any(s.message == "K1ABC FN42 37" for s in spots)
+    s = next(s for s in spots if s.message == "K1ABC FN42 37")
+    assert s.freq == pytest.approx(-3.0, abs=0.4)
+
+
+def test_device_noise_only(device_decoder):
+    rng = np.random.default_rng(5)
+    sigma = noise_sigma(-18.0)
+    z = (rng.normal(scale=sigma, size=45000)
+         + 1j * rng.normal(scale=sigma, size=45000)).astype(np.complex64)
+    out = device_decoder(z)
+    assert not out.success.any()
+
+
+def test_sharded_decoder_mesh():
+    """(channel, time) shard_map decode on the 8-device CPU grid; halo
+    exchange must hand complete windows to the time shards."""
+    from uwspr_tpu.parallel.mesh import ShardedDecoder, make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    config = PipelineConfig(
+        coarse=CoarseConfig(maxfreqs=8),
+        demod=DemodConfig(maxcycles=64, n_jiggles=3),
+        stream=StreamConfig(),
+    )
+    dec = ShardedDecoder(config, mesh)
+    hop = dec.hop
+    rng = np.random.default_rng(3)
+    sigma = noise_sigma(-10.0)
+    x = (rng.normal(scale=sigma, size=(2, 2 * hop))
+         + 1j * rng.normal(scale=sigma, size=(2, 2 * hop))
+         ).astype(np.complex64)
+    out, n_spots = dec.decode(x)
+    assert out["success"].shape[0] == 2      # channels gathered
+    assert int(n_spots) == int(np.asarray(out["success"]).sum())

@@ -134,7 +134,11 @@ def pack_callsign(call: str) -> int:
             call = " " + call
         else:
             raise ValueError(f"cannot align callsign {call!r}")
-    call = f"{call:<6s}"[:6]
+    if len(call) > 6:
+        raise ValueError(
+            f"callsign {call.strip()!r} does not fit the 28-bit type-1 field "
+            f"(max 3 suffix letters; use a type-2/compound form)")
+    call = f"{call:<6s}"
     if not call[2].isdigit():
         raise ValueError(f"third character of {call!r} must be a digit")
 
@@ -179,6 +183,8 @@ def pack_grid(grid: str) -> int:
     if len(grid) != 4 or not (grid[0].isalpha() and grid[1].isalpha()
                               and grid[2].isdigit() and grid[3].isdigit()):
         raise ValueError(f"invalid grid {grid!r}")
+    if grid[0] > "R" or grid[1] > "R":
+        raise ValueError(f"invalid grid {grid!r}: fields are A-R")
     g0 = ord(grid[0]) - ord("A")
     g1 = ord(grid[1]) - ord("A")
     g2 = int(grid[2])

@@ -65,19 +65,23 @@ class DeviceDecoder:
         self.config = config or PipelineConfig()
         cfg = self.config.coarse
         models = build_drift_models(cfg)
-        self._offsets = jnp.asarray(models.offsets)
-        self._is_nl = jnp.asarray(models.is_nonlinear)
-        self._model_drift = jnp.asarray(models.drift)
-        self._model_slm = jnp.asarray(models.slm_params)
-        self._sign = jnp.asarray(2.0 * SYNC_VECTOR.astype(np.float32) - 1.0)
-        self._sync_bit = jnp.asarray(SYNC_VECTOR.astype(bool))
-        self._mettab = jnp.asarray(FANO_METTAB)
-        self._perm = jnp.asarray(INTERLEAVE_PERM)
+        # constants are kept as HOST numpy arrays: jit embeds them directly
+        # into the program; closing over committed *device* arrays would
+        # force a device->host copy at trace time, which some TPU runtimes
+        # (remote-compile backends) cannot do.
+        self._offsets = np.asarray(models.offsets)
+        self._is_nl = np.asarray(models.is_nonlinear)
+        self._model_drift = np.asarray(models.drift)
+        self._model_slm = np.asarray(models.slm_params)
+        self._sign = 2.0 * SYNC_VECTOR.astype(np.float32) - 1.0
+        self._sync_bit = SYNC_VECTOR.astype(bool)
+        self._mettab = np.asarray(FANO_METTAB)
+        self._perm = np.asarray(INTERLEAVE_PERM)
         dcfg = self.config.demod
         idt = np.arange(dcfg.n_jiggles)
         ii = (idt + 1) // 2
         ii = np.where(idt % 2 == 1, -ii, ii) * dcfg.iifac
-        self._jiggles = jnp.asarray(ii.astype(np.int32))
+        self._jiggles = ii.astype(np.int32)
         self.decode_window_ri = jax.jit(self._decode_window_ri)
 
     # -- coarse: device peak pick -----------------------------------------
@@ -154,9 +158,9 @@ class DeviceDecoder:
         m_half = cfg.fft_size // 2
         freq = ((if0 + fi - 2) - m_half) * jnp.float32(cfg.df)
         shift = (128 * k0).astype(jnp.int32)
-        mode = jnp.where(self._is_nl[mm], 1, 0).astype(jnp.int32)
-        drift = self._model_drift[mm]
-        slm_params = self._model_slm[mm]
+        mode = jnp.where(jnp.asarray(self._is_nl)[mm], 1, 0).astype(jnp.int32)
+        drift = jnp.asarray(self._model_drift)[mm]
+        slm_params = jnp.asarray(self._model_slm)[mm]
 
         # ---- staged fine sync (mirrors demod.finesync.FineSync.refine) ----
         f1 = freq.astype(jnp.float32)

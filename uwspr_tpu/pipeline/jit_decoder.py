@@ -57,6 +57,13 @@ class DeviceDecoderOutput:
     jiggle: np.ndarray
     valid: np.ndarray
 
+    def window(self, w: int) -> "DeviceDecoderOutput":
+        """Select one window from a batched (leading axis W) output."""
+        import dataclasses
+        return DeviceDecoderOutput(**{
+            f.name: getattr(self, f.name)[w]
+            for f in dataclasses.fields(self)})
+
 
 class DeviceDecoder:
     """Configuration-baked jittable decoder."""
@@ -83,6 +90,10 @@ class DeviceDecoder:
         ii = np.where(idt % 2 == 1, -ii, ii) * dcfg.iifac
         self._jiggles = ii.astype(np.int32)
         self.decode_window_ri = jax.jit(self._decode_window_ri)
+        # batched windows: one XLA program decodes (W, 2, fl) at once.
+        # Dense stages scale to fill the chip; the batched Fano while_loop
+        # runs for the max iteration count over windows instead of the sum.
+        self.decode_windows_ri = jax.jit(jax.vmap(self._decode_window_ri))
 
     # -- coarse: device peak pick -----------------------------------------
 
@@ -266,6 +277,13 @@ class DeviceDecoder:
     def __call__(self, z: np.ndarray) -> DeviceDecoderOutput:
         from uwspr_tpu.demod.finesync import complex_to_ri
         out = self.decode_window_ri(jnp.asarray(complex_to_ri(z)))
+        return DeviceDecoderOutput(**{k: np.asarray(v) for k, v in out.items()})
+
+    def decode_batch(self, zs: np.ndarray) -> DeviceDecoderOutput:
+        """(W, fl) complex windows -> batched output (leading axis W)."""
+        from uwspr_tpu.demod.finesync import complex_to_ri
+        ri = np.stack([complex_to_ri(z) for z in np.asarray(zs)])
+        out = self.decode_windows_ri(jnp.asarray(ri))
         return DeviceDecoderOutput(**{k: np.asarray(v) for k, v in out.items()})
 
     def messages(self, out: DeviceDecoderOutput, hashtable=None) -> list[str]:

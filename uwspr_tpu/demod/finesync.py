@@ -96,13 +96,21 @@ def eval_probe_grid_core(z: jnp.ndarray, lags: jnp.ndarray, freqs: jnp.ndarray,
     wb = (-2.0 * jnp.pi * _DT) * ft[..., None] * k            # (C,F,4,256)
     bank = jax.lax.complex(jnp.cos(wb), jnp.sin(wb)).reshape(C, F * 4, 256)
 
-    sym_base = (jnp.arange(162) * 256)[:, None] + jnp.arange(256)[None, :]
+    # Each (candidate, lag) needs the contiguous 162*256-sample frame at
+    # z[lag : lag+41472].  A contiguous dynamic_slice is orders of magnitude
+    # cheaper on TPU than the equivalent elementwise gather.  Zero padding
+    # reproduces the reference's correlation guard 0 < n < N
+    # (impl.cc:205): out-of-range samples contribute nothing, and z[0]
+    # itself is excluded by zeroing it in the padded copy.
+    frame_len = 162 * 256
+    pad = 4096
+    zp = jnp.pad(z, (pad, pad)).at[pad].set(0)
 
     def one_lag(lag_c):
-        n = lag_c[:, None, None] + sym_base[None]             # (C, 162, 256)
-        mask = (n > 0) & (n < N)
-        zz = z[jnp.clip(n, 0, N - 1)] * mask
-        zd = zz * phasor_d
+        start = jnp.clip(lag_c + pad, 0, 2 * pad + N - frame_len)
+        zz = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(zp, (s,), (frame_len,)))(start)
+        zd = zz.reshape(C, 162, 256) * phasor_d
         corr = jnp.einsum("cik,cmk->cim", zd, bank,
                           preferred_element_type=jnp.complex64)
         return jnp.abs(corr).reshape(C, 162, F, 4)            # power p

@@ -69,16 +69,19 @@ def main():
     ri_j = jnp.asarray(ri)
 
     def run():
-        """One batched decode of all windows; returns host numpy results
-        (the d2h forces completion — block_until_ready is not reliable on
-        all remote TPU runtimes)."""
-        out = decoder.decode_windows_ri(ri_j)
-        return {k: np.asarray(v) for k, v in out.items()}
+        """Decode all windows serially through the single-window program
+        (measured faster than a vmapped batch on one chip: the batched
+        probe-grid is HBM-bound and the lockstep Fano waits on the slowest
+        window). Dispatch everything, then one host sync; the final
+        np.asarray d2h forces completion — block_until_ready is not
+        reliable on all remote TPU runtimes."""
+        outs = [decoder.decode_window_ri(ri_j[w]) for w in range(N_WINDOWS)]
+        return [{k: np.asarray(v) for k, v in o.items()} for o in outs]
 
     # warmup / compile
     t0 = time.time()
     out = run()
-    log(f"compile+first batched decode: {time.time() - t0:.1f}s")
+    log(f"compile+first decode of {N_WINDOWS} windows: {time.time() - t0:.1f}s")
 
     # timed run
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -90,8 +93,8 @@ def main():
     # correctness check
     ok = 0
     for w in range(N_WINDOWS):
-        succ = out["success"][w]
-        payloads = out["payload"][w]
+        succ = out[w]["success"]
+        payloads = out[w]["payload"]
         msgs = []
         for c in np.flatnonzero(succ):
             u = unpack_message(bytes(payloads[c]))
@@ -100,7 +103,7 @@ def main():
         if expected[w] in msgs:
             ok += 1
     log(f"{ok}/{N_WINDOWS} windows decoded correctly; "
-        f"{dt / N_WINDOWS * 1000:.0f} ms/window batched x{N_WINDOWS}")
+        f"{dt / N_WINDOWS * 1000:.0f} ms/window")
 
     value = N_WINDOWS * 45000.0 / dt if ok else 0.0
     print(json.dumps({

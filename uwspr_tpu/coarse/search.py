@@ -258,7 +258,10 @@ def select_best(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
 
     init = (jnp.full(C, -1e30, jnp.float32), jnp.zeros(C, jnp.int32),
             jnp.int32(0))
-    (best, best_idx, _), _ = jax.lax.scan(body, init, (flat, step_is_nl))
+    # unroll: the scan is ~16k tiny steps; unrolling trades compile size
+    # for an 8x shorter serial chain on device
+    (best, best_idx, _), _ = jax.lax.scan(body, init, (flat, step_is_nl),
+                                          unroll=16)
     return best, best_idx
 
 

@@ -73,18 +73,18 @@ def drift_offsets(cands: Candidates, drift1: np.ndarray, cf: float
     return np.where(is_nl, nl, lin).astype(np.float32)
 
 
-def eval_probe_grid_core(z: jnp.ndarray, lags: jnp.ndarray, freqs: jnp.ndarray,
-                         drift_sym: jnp.ndarray, *, n_lags: int,
-                         want_symbols: bool = False):
-    """Evaluate sync for every (candidate, freq, lag) probe (in-graph).
+PROBE_IMPL = None   # override: "pallas" | "xla" | None = auto (pallas on TPU)
 
-    z: (N,) complex64 traced; lags: (C, L) int32; freqs: (C, F) float32
-    absolute probe frequencies; drift_sym: (C, 162) float32 per-symbol
-    drift in Hz.
 
-    Returns sync (C, F, L) float32 and, if want_symbols, the per-symbol
-    tone powers p (C, F, L, 162, 4) float32.
-    """
+def _probe_use_pallas(probe_impl: str | None) -> bool:
+    impl = probe_impl or PROBE_IMPL
+    if impl in ("pallas", "xla"):
+        return impl == "pallas"
+    return jax.default_backend() == "tpu"
+
+
+def _probe_powers_xla(z, lags, freqs, drift_sym, *, n_lags):
+    """Pure-XLA probe powers p (C, F, L, 162, 4) — the portable path."""
     N = z.shape[0]
     C, F = freqs.shape
     k = jnp.arange(256, dtype=jnp.float32)
@@ -117,7 +117,34 @@ def eval_probe_grid_core(z: jnp.ndarray, lags: jnp.ndarray, freqs: jnp.ndarray,
 
     ps = [one_lag(lags[:, l]) for l in range(n_lags)]
     p = jnp.stack(ps, axis=1)                                 # (C, L, 162, F, 4)
-    p = jnp.transpose(p, (0, 3, 1, 2, 4))                     # (C, F, L, 162, 4)
+    return jnp.transpose(p, (0, 3, 1, 2, 4))                  # (C, F, L, 162, 4)
+
+
+def eval_probe_grid_core(z: jnp.ndarray, lags: jnp.ndarray, freqs: jnp.ndarray,
+                         drift_sym: jnp.ndarray, *, n_lags: int,
+                         want_symbols: bool = False,
+                         probe_impl: str | None = None):
+    """Evaluate sync for every (candidate, freq, lag) probe (in-graph).
+
+    z: (N,) complex64 traced; lags: (C, L) int32; freqs: (C, F) float32
+    absolute probe frequencies; drift_sym: (C, 162) float32 per-symbol
+    drift in Hz.
+
+    Returns sync (C, F, L) float32 and, if want_symbols, the per-symbol
+    tone powers p (C, F, L, 162, 4) float32.  The tone powers come from the
+    fused Pallas kernel on TPU (ops/probe_pallas.py) or the portable XLA
+    path elsewhere; both are numerically interchangeable (tested).
+    """
+    if _probe_use_pallas(probe_impl):
+        from uwspr_tpu.ops.probe_pallas import (
+            pad_window_ri,
+            probe_powers_pallas,
+        )
+        ri = jnp.stack([jnp.real(z), jnp.imag(z)])
+        p = probe_powers_pallas(pad_window_ri(ri), lags, freqs, drift_sym,
+                                n_lags=n_lags)
+    else:
+        p = _probe_powers_xla(z, lags, freqs, drift_sym, n_lags=n_lags)
 
     sign = jnp.asarray(2.0 * SYNC_VECTOR.astype(np.float32) - 1.0)
     cmet = (p[..., 1] + p[..., 3]) - (p[..., 0] + p[..., 2])  # (C,F,L,162)

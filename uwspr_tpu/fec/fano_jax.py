@@ -174,7 +174,19 @@ def fano_decode_batch_jax(symbols: jnp.ndarray,
         return done, success, phase, k, t, cycles, maxnp, gamma, enc, tm, branch
 
     state = (done, success, phase, k, t, cycles, maxnp, gamma, enc, tm, branch)
-    state = jax.lax.while_loop(cond, body, state)
+    # Run several primitive steps per while iteration: every operation in
+    # the body is masked by the per-lane done/phase flags, so the body is
+    # idempotent for finished lanes and checking the exit condition only
+    # every UNROLL steps preserves semantics while cutting the serial
+    # loop-control overhead.
+    UNROLL = 4
+
+    def body_unrolled(state):
+        for _ in range(UNROLL):
+            state = body(state)
+        return state
+
+    state = jax.lax.while_loop(cond, body_unrolled, state)
     done, success, phase, k, t, cycles, maxnp, gamma, enc, tm, branch = state
 
     nbytes = nbits >> 3

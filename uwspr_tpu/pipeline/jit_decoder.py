@@ -90,10 +90,13 @@ class DeviceDecoder:
         ii = np.where(idt % 2 == 1, -ii, ii) * dcfg.iifac
         self._jiggles = ii.astype(np.int32)
         self.decode_window_ri = jax.jit(self._decode_window_ri)
-        # batched windows: one XLA program decodes (W, 2, fl) at once.
-        # Dense stages scale to fill the chip; the batched Fano while_loop
-        # runs for the max iteration count over windows instead of the sum.
-        self.decode_windows_ri = jax.jit(jax.vmap(self._decode_window_ri))
+        # batched windows: one XLA program decodes (W, 2, fl) window by
+        # window (lax.map).  Measured faster than a vmapped batch on one
+        # chip — the vmapped probe grid is HBM-bound and the lockstep Fano
+        # waits on the slowest window — and compatible with the Pallas
+        # probe kernel, which has no vmap batching rule.
+        self.decode_windows_ri = jax.jit(
+            lambda ris: jax.lax.map(self._decode_window_ri, ris))
 
     # -- coarse: device peak pick -----------------------------------------
 

@@ -8,17 +8,23 @@ lag, ~2.6 GB per window decode); this kernel keeps the whole zero-padded
 45000-sample window resident in VMEM (~0.4 MB) and streams nothing to HBM
 but the (C, L, 162, 4F) tone powers.
 
-Per grid step (one candidate):
-  - drift phasor (162, 256) from the per-symbol drift row (VPU cos/sin);
-  - tone bank (4F, 256) from the probe frequencies + the 4 WSPR tones;
-  - per lag: slice the 41472-sample frame at lags[c, l] (VMEM dynamic
-    slice), derotate by the phasor, and correlate via ONE stacked real
-    matmul  [zdr zdi] (162, 512) @ [[br, bi], [-bi, br]] (512, 2*4F)
-    on the MXU = the complex correlation's real/imag parts.
+Alignment trick: Mosaic vector loads need 128-aligned lane offsets, but
+probe lags are arbitrary integers. Each lag is split as
+``lag = start0 + b`` with start0 256-aligned and b in [0, 256). The kernel
+loads the aligned 163*256-sample superset, forms 512-wide per-symbol rows
+(row k || row k+1), and restricts the correlation to the b-shifted
+256-sample window by masking the correlation matrix rows to
+[b, b+256). The derotation/tone phases are evaluated at the aligned index
+j' = j + b instead of j, which multiplies every correlation by the unit
+phasor exp(-i*w*b) — irrelevant, because only |corr| (tone power) is
+consumed. Per (candidate, lag) the work is one stacked real
+(162, 1024) @ (1024, 8F) MXU matmul.
 
-Semantics are identical to demod.finesync.eval_probe_grid_core: the host
+Semantics are identical to demod.finesync._probe_powers_xla: the host
 wrapper pads the window and zeroes sample 0, reproducing the reference's
-0 < n < N correlation guard.
+0 < n < N correlation guard (impl.cc:205). Equality is tested in
+interpret mode (tests/test_probe_pallas.py) and on hardware via the golden
+decodes.
 """
 
 from __future__ import annotations
@@ -29,58 +35,76 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uwspr_tpu.protocol.constants import (
-    SAMPLE_RATE,
-    TONE_OFFSETS,
-    TONE_SPACING,
-)
+from uwspr_tpu.protocol.constants import SAMPLE_RATE, TONE_SPACING
 
 _DT = 1.0 / SAMPLE_RATE
-_TONES_HZ = (TONE_OFFSETS * TONE_SPACING).astype(np.float32)   # (4,)
 _FRAME = 162 * 256
-PAD = 4096
+PAD = 4096                    # left pad (covers negative lags)
+
+
+_W = 1024                     # per-symbol aligned working width (j' domain)
 
 
 def _probe_kernel(lags_ref, zp_ref, drift_ref, freqs_ref, out_ref,
                   *, n_lags: int, F: int):
     """One candidate per grid step.
 
-    lags_ref: (C, n_lags) int32 scalar-prefetch; zp_ref: (2, Np) f32 VMEM;
-    drift_ref: (1, 162) f32; freqs_ref: (1, F) f32;
-    out_ref: (1, n_lags, 162, 4*F) f32.
+    lags_ref: (C, 1 + n_lags) int32 scalar-prefetch rows
+    [start0, b_0, ..., b_{L-1}] — start0 is the 256-aligned base of the
+    candidate's lag span, b_l = lag_l + PAD - start0 in [0, _W-256].
+    zp_ref: (2, Np) f32 VMEM; drift_ref: (1, 1, 162) f32;
+    freqs_ref: (1, 1, F) f32; out_ref: (1, n_lags, 162, 4*F) f32.
+
+    All n_lags share one 4-block aligned load per plane: the frame of lag_l
+    occupies aligned columns [b_l, b_l+256) of the (162, _W) window, and the
+    b_l shift is applied by masking the correlation matrix rows — the phase
+    error exp(-i*w*b_l) this introduces is magnitude-invariant and only
+    |corr| is consumed.
     """
     import jax.experimental.pallas as pl
 
     cid = pl.program_id(0)
-    k = jax.lax.broadcasted_iota(jnp.float32, (1, 256), 1)
+    jp = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)       # j' in [0,_W)
+    jpf = jp.astype(jnp.float32)
 
-    # drift phasor (162, 256)
-    wd = (-2.0 * jnp.pi * _DT) * drift_ref[0, :][:, None] * k
-    pr = jnp.cos(wd)
-    pi = jnp.sin(wd)
+    # derotation phasor at aligned index j': (162, _W)
+    wd = (-2.0 * jnp.pi * _DT) * drift_ref[0, 0, :][:, None] * jpf
+    Pr = jnp.cos(wd)
+    Pi = jnp.sin(wd)
 
-    # tone bank (4F, 256) -> stacked (512, 8F) correlation matrix.
-    # tones = (iota(4) - 1.5) * TONE_SPACING (constants cannot be captured
-    # by a pallas kernel, so build them from iota).
-    tones = (jax.lax.broadcasted_iota(jnp.float32, (1, 4), 1) - 1.5) \
-        * jnp.float32(TONE_SPACING)
-    ft = (freqs_ref[0, :][:, None] + tones).reshape(4 * F, 1)
-    wb = (-2.0 * jnp.pi * _DT) * ft * k                     # (4F, 256)
-    br = jnp.cos(wb).T                                      # (256, 4F)
-    bi = jnp.sin(wb).T
+    # tone bank at aligned index j': stacked real (2*_W, 8F) correlation
+    # matrix  [zdr zdi] @ [[Br, Bi], [-Bi, Br]] = [Re(corr) Im(corr)]
+    tones = (jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+             .astype(jnp.float32) - 1.5) * jnp.float32(TONE_SPACING)
+    ft = (freqs_ref[0, 0, :][:, None] + tones).reshape(1, 4 * F)
+    wb = (-2.0 * jnp.pi * _DT) * jpf.reshape(_W, 1) * ft       # (_W, 4F)
+    Br = jnp.cos(wb)
+    Bi = jnp.sin(wb)
     B = jnp.concatenate([
-        jnp.concatenate([br, bi], axis=1),
-        jnp.concatenate([-bi, br], axis=1),
-    ], axis=0)                                              # (512, 8F)
+        jnp.concatenate([Br, Bi], axis=1),
+        jnp.concatenate([-Bi, Br], axis=1),
+    ], axis=0)                                                 # (2_W, 8F)
+
+    # one aligned load per 256-wide column block, shared by all lags
+    start0 = pl.multiple_of(lags_ref[cid, 0], 256)
+    planes = []
+    for plane in range(2):
+        blocks = [
+            zp_ref[plane, pl.ds(start0 + 256 * i, _FRAME)].reshape(162, 256)
+            for i in range(_W // 256)
+        ]
+        planes.append(jnp.concatenate(blocks, axis=1))         # (162, _W)
+    fr, fi = planes
+    zdr = fr * Pr - fi * Pi
+    zdi = fr * Pi + fi * Pr
+    A = jnp.concatenate([zdr, zdi], axis=1)                    # (162, 2_W)
 
     for l in range(n_lags):
-        start = lags_ref[cid, l]
-        fr = zp_ref[0, pl.ds(start, _FRAME)].reshape(162, 256)
-        fi = zp_ref[1, pl.ds(start, _FRAME)].reshape(162, 256)
-        zdr = fr * pr - fi * pi
-        zdi = fr * pi + fi * pr
-        A = jnp.concatenate([zdr, zdi], axis=1)             # (162, 512)
-        corr = jnp.dot(A, B, preferred_element_type=jnp.float32)
+        b = lags_ref[cid, 1 + l]
+        # restrict to the b-shifted 256-sample symbol window
+        mask = ((jp >= b) & (jp < b + 256)).astype(jnp.float32)
+        m2 = jnp.concatenate([mask, mask], axis=1).reshape(2 * _W, 1)
+        corr = jnp.dot(A, B * m2, preferred_element_type=jnp.float32)
         cr = corr[:, :4 * F]
         ci = corr[:, 4 * F:]
         out_ref[0, l] = jnp.sqrt(cr * cr + ci * ci)
@@ -92,7 +116,7 @@ def probe_powers_pallas(zp_ri: jnp.ndarray, lags: jnp.ndarray,
                         *, n_lags: int, interpret: bool = False):
     """Tone powers for every (candidate, lag, symbol, freq, tone) probe.
 
-    zp_ri: (2, N + 2*PAD) float32 pre-padded window with zp[:, PAD] == 0;
+    zp_ri: (2, N + pads) float32 pre-padded window from pad_window_ri;
     lags: (C, L) int32 (window-relative, may be negative);
     freqs: (C, F) float32; drift_sym: (C, 162) float32.
     Returns p (C, F, L, 162, 4) float32 — the layout eval_probe_grid uses.
@@ -102,17 +126,26 @@ def probe_powers_pallas(zp_ri: jnp.ndarray, lags: jnp.ndarray,
 
     C, F = freqs.shape
     Np = zp_ri.shape[1]
-    starts = jnp.clip(lags.astype(jnp.int32) + PAD, 0, Np - _FRAME)
+    # per-candidate 256-aligned base of the lag span + per-lag offsets.
+    # Callers keep each candidate's lag span <= _W - 512 (the staged grids
+    # span at most 256 samples), so b fits in [0, _W-256).
+    starts = jnp.clip(lags.astype(jnp.int32) + PAD, 0, Np - _FRAME - _W)
+    base = (jnp.min(starts, axis=1) // 256) * 256              # (C,)
+    b = jnp.clip(starts - base[:, None], 0, _W - 256)
+    lag_rows = jnp.concatenate([base[:, None], b], axis=1)     # (C, 1+L)
 
+    # Mosaic requires the last two dims of every block to be divisible by
+    # (8, 128) or equal to the array dims — hence the singleton middle axis
+    # on the per-candidate rows.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(C,),
         in_specs=[
             pl.BlockSpec((2, Np), lambda c, lags: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 162), lambda c, lags: (c, 0),
+            pl.BlockSpec((1, 1, 162), lambda c, lags: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F), lambda c, lags: (c, 0),
+            pl.BlockSpec((1, 1, F), lambda c, lags: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_lags, 162, 4 * F),
@@ -124,16 +157,19 @@ def probe_powers_pallas(zp_ri: jnp.ndarray, lags: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, n_lags, 162, 4 * F), jnp.float32),
         interpret=interpret,
-    )(starts, zp_ri, drift_sym, freqs)
+    )(lag_rows, zp_ri, drift_sym[:, None, :], freqs[:, None, :])
     # (C, L, 162, 4F) -> (C, F, L, 162, 4)
     p = out.reshape(C, n_lags, 162, F, 4)
     return jnp.transpose(p, (0, 3, 1, 2, 4))
 
 
 def pad_window_ri(ri: jnp.ndarray) -> jnp.ndarray:
-    """(2, N) float32 -> (2, N + 2*PAD) with the n==0 sample zeroed
-    (the reference's 0 < n < N guard)."""
-    zp = jnp.pad(ri, ((0, 0), (PAD, PAD)))
+    """(2, N) float32 -> zero-padded copy with the n==0 sample zeroed
+    (the reference's 0 < n < N guard). The total length is rounded up to a
+    multiple of 256 for aligned vector loads."""
+    n = ri.shape[1]
+    right = PAD + (-(n + 2 * PAD) % 256)
+    zp = jnp.pad(ri, ((0, 0), (PAD, right)))
     return zp.at[:, PAD].set(0.0)
 
 

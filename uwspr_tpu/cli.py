@@ -49,7 +49,6 @@ def _make_engine(args, ht):
 
 
 def _cmd_decode(args):
-    _apply_platform(args)
     from uwspr_tpu.protocol.messages import HashTable
     from uwspr_tpu.utils.spotlog import SpotLogger
 
@@ -65,6 +64,11 @@ def _cmd_decode(args):
     else:
         from uwspr_tpu.io.c2file import read_c2
         z = read_c2(args.file).samples
+    if args.sim_drift:
+        # synthetic linear drift injection to exercise the drift search
+        # (reference: c2file_source drift_rate, c2file_source_impl.cc:117-133)
+        from uwspr_tpu.io.c2file import apply_sim_drift
+        z = apply_sim_drift(z, args.sim_drift)
 
     fl = decoder.config.stream.fl
     hop = decoder.config.stream.shift * decoder.config.stream.fs
@@ -101,8 +105,35 @@ def _cmd_encode(args):
           f" at {args.freq_offset:+.2f} Hz, start sample {args.start}")
 
 
+def _cmd_c2towav(args):
+    """c2 baseband -> 12 kS/s wav at 1500 Hz (examples/c2ToWaveFile.grc)."""
+    from uwspr_tpu.frontend.downconvert import upconvert
+    from uwspr_tpu.io.c2file import apply_sim_drift, read_c2
+    from uwspr_tpu.io.wavfile import write_wav
+
+    z = read_c2(args.file).samples
+    if args.drift_rate:
+        z = apply_sim_drift(z, args.drift_rate)
+    audio = upconvert(z, amplitude=args.amplitude)
+    write_wav(args.output, audio, 12000)
+    print(f"wrote {args.output}: {len(audio)} samples @ 12 kS/s")
+
+
+def _cmd_wavtoc2(args):
+    """12 kS/s wav -> c2 baseband capture (inverse of c2towav)."""
+    from uwspr_tpu.frontend.downconvert import downconvert
+    from uwspr_tpu.io.c2file import write_c2
+    from uwspr_tpu.io.wavfile import read_wav
+
+    audio, rate = read_wav(args.file)
+    if rate != 12000:
+        raise SystemExit(f"expected 12 kS/s audio, got {rate}")
+    z = downconvert(audio)
+    write_c2(args.output, z[:45000])
+    print(f"wrote {args.output}")
+
+
 def _cmd_sweep(args):
-    _apply_platform(args)
     from uwspr_tpu.pipeline.sweep import snr_sweep
 
     snrs = np.arange(args.snr[0], args.snr[1] + args.snr[2] / 2, args.snr[2])
@@ -129,7 +160,6 @@ def _cmd_serve(args):
     Frames stream contiguously across hop boundaries (a 111 s frame spans
     ~13 hops), riding on hop-by-hop AWGN at the requested SNR — the
     streaming analogue of the reference's closed-loop flowgraph."""
-    _apply_platform(args)
     from uwspr_tpu.io.channel import noise_sigma
     from uwspr_tpu.pipeline.stream import StreamDecoder
     from uwspr_tpu.protocol.modulate import synthesize_frame
@@ -182,7 +212,22 @@ def main(argv=None):
     d.add_argument("--hashtable", default=None)
     d.add_argument("--messagelog", default=None)
     d.add_argument("--jsonl", default=None)
+    d.add_argument("--sim-drift", type=float, default=0.0,
+                   help="inject synthetic linear drift (Hz/minute) before "
+                        "decoding, like the reference c2file_source")
     d.set_defaults(fn=_cmd_decode)
+
+    cw = sub.add_parser("c2towav", help="c2 -> 12 kS/s wav at 1500 Hz")
+    cw.add_argument("file")
+    cw.add_argument("-o", "--output", default="out.wav")
+    cw.add_argument("--amplitude", type=float, default=0.5)
+    cw.add_argument("--drift-rate", type=float, default=0.0)
+    cw.set_defaults(fn=_cmd_c2towav)
+
+    wc = sub.add_parser("wavtoc2", help="12 kS/s wav -> c2 baseband")
+    wc.add_argument("file")
+    wc.add_argument("-o", "--output", default="out.c2")
+    wc.set_defaults(fn=_cmd_wavtoc2)
 
     e = sub.add_parser("encode", help="synthesize a frame to .c2 (wsprsim)")
     e.add_argument("callsign")
@@ -211,6 +256,7 @@ def main(argv=None):
     v.set_defaults(fn=_cmd_serve)
 
     args = p.parse_args(argv)
+    _apply_platform(args)
     args.fn(args)
 
 

@@ -43,6 +43,8 @@ class Spot:
     slm_params: tuple = ()
     candidate: int = 0
     jiggle: int = 0
+    fano_metric: int = 0      # final path metric (reference Fano.cc:240-248)
+    fano_cycles: int = 0      # forward-look count consumed
     unpacked: Unpacked | None = None
 
 
@@ -56,25 +58,34 @@ class DecodeResult:
 
 class WindowDecoder:
     def __init__(self, config: PipelineConfig | None = None,
-                 hashtable: HashTable | None = None):
+                 hashtable: HashTable | None = None,
+                 timers: "StageTimers | None" = None):
+        from uwspr_tpu.utils.timers import StageTimers
         self.config = config or PipelineConfig()
         self.coarse = CoarseSearch(self.config.coarse)
         self.fine = FineSync(self.config.demod, self.config.coarse)
         self.hashtable = hashtable if hashtable is not None else HashTable()
+        # per-stage wall-clock accounting — the first-class version of the
+        # reference's commented-out wsprd timing block
+        # (lib/WSPR_unpacker_impl.cc:68-74): tcandidates/tsync/tfano
+        self.timers = timers if timers is not None else StageTimers()
 
     def __call__(self, window: np.ndarray) -> DecodeResult:
         cfg = self.config
-        cands = self.coarse(window)
+        with self.timers.stage("coarse"):
+            cands = self.coarse(window)
         result = DecodeResult(n_candidates=cands.n)
         if cands.n == 0:
             return result
 
-        ref = self.fine.refine(window, cands)
+        with self.timers.stage("finesync"):
+            ref = self.fine.refine(window, cands)
         result.n_worth_a_try = int(ref.worth_a_try.sum())
         if result.n_worth_a_try == 0:
             return result
 
-        symbols, sync2, rms = self.fine.soft_symbols(window, cands, ref)
+        with self.timers.stage("soft_symbols"):
+            symbols, sync2, rms = self.fine.soft_symbols(window, cands, ref)
         C, J, _ = symbols.shape
         gate = (ref.worth_a_try[:, None]
                 & (sync2 > cfg.demod.minsync2)
@@ -85,11 +96,14 @@ class WindowDecoder:
         result.n_fano_attempts = int(active.sum())
         if result.n_fano_attempts == 0:
             return result
-        success, data, metric, cycles, maxnp = fano_decode_batch(
-            flat_syms, FANO_METTAB, active, backend=cfg.fano_backend,
-            delta=cfg.demod.fano_delta, maxcycles=cfg.demod.maxcycles)
+        with self.timers.stage("fano"):
+            success, data, metric, cycles, maxnp = fano_decode_batch(
+                flat_syms, FANO_METTAB, active, backend=cfg.fano_backend,
+                delta=cfg.demod.fano_delta, maxcycles=cfg.demod.maxcycles)
         success = success.reshape(C, J)
         data = data.reshape(C, J, -1)
+        metric = metric.reshape(C, J)
+        cycles = cycles.reshape(C, J)
 
         for c in range(C):
             if not ref.worth_a_try[c]:
@@ -114,6 +128,8 @@ class WindowDecoder:
                 if cands.mode[c] == MODE_NONLINEAR else (),
                 candidate=c,
                 jiggle=j,
+                fano_metric=int(metric[c, j]),
+                fano_cycles=int(cycles[c, j]),
                 unpacked=unpacked,
             ))
         return result

@@ -75,17 +75,19 @@ def _cmd_decode(args):
     n_windows = max(1, (len(z) - fl) // hop + 1)
     t0 = time.time()
     total = 0
-    for w in range(n_windows):
-        window = z[w * hop: w * hop + fl]
-        if len(window) < fl:
-            break
-        for s in decode_spots(window):
-            total += 1
-            print(f"{s.message}    (freq {s.freq:+.2f} Hz, SNR "
-                  f"{s.snr:.1f} dB, sync {s.sync:.2f}, "
-                  f"{'nonlinear' if s.mode else 'linear'})")
-            if logger:
-                logger.log(s)
+    from uwspr_tpu.utils.profiler import trace
+    with trace(args.trace_dir):
+        for w in range(n_windows):
+            window = z[w * hop: w * hop + fl]
+            if len(window) < fl:
+                break
+            for s in decode_spots(window):
+                total += 1
+                print(f"{s.message}    (freq {s.freq:+.2f} Hz, SNR "
+                      f"{s.snr:.1f} dB, sync {s.sync:.2f}, "
+                      f"{'nonlinear' if s.mode else 'linear'})")
+                if logger:
+                    logger.log(s)
     dt = time.time() - t0
     print(f"# {total} spot(s) from {n_windows} window(s) in {dt:.2f}s "
           f"({engine} engine)", file=sys.stderr)
@@ -215,6 +217,8 @@ def main(argv=None):
     d.add_argument("--sim-drift", type=float, default=0.0,
                    help="inject synthetic linear drift (Hz/minute) before "
                         "decoding, like the reference c2file_source")
+    d.add_argument("--trace-dir", default=None,
+                   help="write an XLA profiler trace (TensorBoard format)")
     d.set_defaults(fn=_cmd_decode)
 
     cw = sub.add_parser("c2towav", help="c2 -> 12 kS/s wav at 1500 Hz")

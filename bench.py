@@ -69,14 +69,15 @@ def main():
     ri_j = jnp.asarray(ri)
 
     def run():
-        """Decode all windows serially through the single-window program
-        (measured faster than a vmapped batch on one chip: the batched
-        probe-grid is HBM-bound and the lockstep Fano waits on the slowest
-        window). Dispatch everything, then one host sync; the final
-        np.asarray d2h forces completion — block_until_ready is not
-        reliable on all remote TPU runtimes."""
-        outs = [decoder.decode_window_ri(ri_j[w]) for w in range(N_WINDOWS)]
-        return [{k: np.asarray(v) for k, v in o.items()} for o in outs]
+        """One lax.map program decodes all windows window-by-window on
+        device (vmapped batching measured slower: the batched probe grid
+        is HBM-bound and the lockstep Fano waits on the slowest window),
+        with a single h2d/d2h transfer set. The np.asarray d2h forces
+        completion — block_until_ready is not reliable on all remote TPU
+        runtimes."""
+        out = decoder.decode_windows_ri(ri_j)
+        host = {k: np.asarray(v) for k, v in out.items()}
+        return [{k: host[k][w] for k in host} for w in range(N_WINDOWS)]
 
     # warmup / compile
     t0 = time.time()

@@ -73,11 +73,20 @@ def _probe_kernel(lags_ref, zp_ref, drift_ref, freqs_ref, out_ref,
     Pi = jnp.sin(wd)
 
     # tone bank at aligned index j': stacked real (2*_W, 8F) correlation
-    # matrix  [zdr zdi] @ [[Br, Bi], [-Bi, Br]] = [Re(corr) Im(corr)]
-    tones = (jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
-             .astype(jnp.float32) - 1.5) * jnp.float32(TONE_SPACING)
-    ft = (freqs_ref[0, 0, :][:, None] + tones).reshape(1, 4 * F)
-    wb = (-2.0 * jnp.pi * _DT) * jpf.reshape(_W, 1) * ft       # (_W, 4F)
+    # matrix  [zdr zdi] @ [[Br, Bi], [-Bi, Br]] = [Re(corr) Im(corr)].
+    # The (1, 4F) probe-frequency row is built with repeat + iota
+    # arithmetic — Mosaic cannot shape-cast (F, 4) -> (1, 4F).
+    from jax.experimental.pallas import tpu as pltpu
+
+    # pltpu.repeat TILES ([f0..fF f0..fF ...]), so columns are tone-major:
+    # column r = tone (r // F), freq (r % F); the wrapper restores the
+    # (freq, tone) order.
+    tone_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * F), 1) // F
+    tones = (tone_idx.astype(jnp.float32) - 1.5) * jnp.float32(TONE_SPACING)
+    frow = pltpu.repeat(freqs_ref[0], 4, axis=1)               # (1, 4F) tiled
+    ft = frow + tones                                          # (1, 4F)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (_W, 1), 0).astype(jnp.float32)
+    wb = (-2.0 * jnp.pi * _DT) * jcol * ft                     # (_W, 4F)
     Br = jnp.cos(wb)
     Bi = jnp.sin(wb)
     B = jnp.concatenate([
@@ -158,9 +167,9 @@ def probe_powers_pallas(zp_ri: jnp.ndarray, lags: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((C, n_lags, 162, 4 * F), jnp.float32),
         interpret=interpret,
     )(lag_rows, zp_ri, drift_sym[:, None, :], freqs[:, None, :])
-    # (C, L, 162, 4F) -> (C, F, L, 162, 4)
-    p = out.reshape(C, n_lags, 162, F, 4)
-    return jnp.transpose(p, (0, 3, 1, 2, 4))
+    # kernel columns are tone-major: (C, L, 162, 4F) -> (C, F, L, 162, 4)
+    p = out.reshape(C, n_lags, 162, 4, F)
+    return jnp.transpose(p, (0, 4, 1, 2, 3))
 
 
 def pad_window_ri(ri: jnp.ndarray) -> jnp.ndarray:

@@ -68,15 +68,40 @@ class StreamStats:
 
 
 class StreamDecoder:
-    """Continuous decoder over one or many channels."""
+    """Continuous decoder over one or many channels.
+
+    engine: "host" (staged orchestration, CPU default), "device" (one XLA
+    program per window — the TPU serving path), or "auto".
+    """
 
     def __init__(self, config: PipelineConfig | None = None,
-                 n_channels: int = 1, hashtable: HashTable | None = None):
+                 n_channels: int = 1, hashtable: HashTable | None = None,
+                 engine: str = "auto"):
         self.config = config or PipelineConfig()
-        self.decoder = WindowDecoder(self.config, hashtable=hashtable)
+        if engine == "auto":
+            import jax
+            engine = "device" if jax.default_backend() == "tpu" else "host"
+        self.engine = engine
+        self.hashtable = hashtable if hashtable is not None else HashTable()
+        if engine == "device":
+            from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+            self._device = DeviceDecoder(self.config)
+            self.decoder = None
+        else:
+            self._device = None
+            self.decoder = WindowDecoder(self.config,
+                                         hashtable=self.hashtable)
         self.windows = [SlidingWindow(self.config.stream)
                         for _ in range(n_channels)]
         self.stats = StreamStats()
+
+    def _decode(self, window: np.ndarray) -> DecodeResult:
+        if self._device is None:
+            return self.decoder(window)
+        out = self._device(window)
+        r = DecodeResult(spots=self._device.spots(out, self.hashtable))
+        r.n_candidates = int(out.valid.sum())
+        return r
 
     def push(self, samples: np.ndarray) -> list[tuple[int, DecodeResult]]:
         """samples: (n,) or (channels, n). Returns [(channel, result), ...]."""
@@ -85,7 +110,7 @@ class StreamDecoder:
         for ch, row in enumerate(samples):
             for window in self.windows[ch].push(row):
                 t0 = time.perf_counter()
-                r = self.decoder(window)
+                r = self._decode(window)
                 self.stats.decode_seconds += time.perf_counter() - t0
                 self.stats.windows += 1
                 self.stats.candidates += r.n_candidates
@@ -100,7 +125,7 @@ class StreamDecoder:
         os.makedirs(directory, exist_ok=True)
         np.savez(os.path.join(directory, "ring_buffers.npz"),
                  **{f"ch{i}": w.state() for i, w in enumerate(self.windows)})
-        self.decoder.hashtable.save(os.path.join(directory, "hashtable.txt"))
+        self.hashtable.save(os.path.join(directory, "hashtable.txt"))
         with open(os.path.join(directory, "stats.json"), "w") as f:
             json.dump(self.stats.__dict__, f)
 
@@ -112,7 +137,9 @@ class StreamDecoder:
                 w.restore(data[key])
         ht_path = os.path.join(directory, "hashtable.txt")
         if os.path.exists(ht_path):
-            self.decoder.hashtable = HashTable.load(ht_path)
+            self.hashtable = HashTable.load(ht_path)
+            if self.decoder is not None:
+                self.decoder.hashtable = self.hashtable
         stats_path = os.path.join(directory, "stats.json")
         if os.path.exists(stats_path):
             with open(stats_path) as f:

@@ -75,13 +75,18 @@ def _cmd_decode(args):
     n_windows = max(1, (len(z) - fl) // hop + 1)
     t0 = time.time()
     total = 0
+    from uwspr_tpu.pipeline.stream import SpotAggregator
     from uwspr_tpu.utils.profiler import trace
+    agg = SpotAggregator()
     with trace(args.trace_dir):
         for w in range(n_windows):
             window = z[w * hop: w * hop + fl]
             if len(window) < fl:
                 break
             for s in decode_spots(window):
+                if not args.all_spots and not agg.add(s):
+                    continue   # same message already seen in an
+                               # overlapping window / adjacent candidate
                 total += 1
                 print(f"{s.message}    (freq {s.freq:+.2f} Hz, SNR "
                       f"{s.snr:.1f} dB, sync {s.sync:.2f}, "
@@ -219,6 +224,9 @@ def main(argv=None):
                         "decoding, like the reference c2file_source")
     d.add_argument("--trace-dir", default=None,
                    help="write an XLA profiler trace (TensorBoard format)")
+    d.add_argument("--all-spots", action="store_true",
+                   help="print every (window, candidate) decode instead of "
+                        "deduplicating by message+frequency")
     d.set_defaults(fn=_cmd_decode)
 
     cw = sub.add_parser("c2towav", help="c2 -> 12 kS/s wav at 1500 Hz")

@@ -41,6 +41,12 @@ def snr_sweep(snrs_db, trials: int = 20, *, callsign: str = "VE3EMB",
     expect = f"{callsign} {grid} {power:2d}"
     rng = np.random.default_rng(seed)
     result = SweepResult(trials=trials)
+    if interference is not None:
+        # tile shorter captures (e.g. the whale-song wav) over the window
+        fl = decoder.config.stream.fl
+        reps = int(np.ceil(fl / len(interference)))
+        interference = np.tile(np.asarray(interference, np.complex64),
+                               reps)[:fl]
     for snr in snrs_db:
         ok = 0
         for t in range(trials):

@@ -1,0 +1,59 @@
+"""Shared-slice XLA probe path == the direct per-lag-slice reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uwspr_tpu.demod.finesync import (
+    _probe_powers_xla,
+    _probe_powers_xla_gather,
+)
+from uwspr_tpu.io.channel import awgn
+from uwspr_tpu.protocol.modulate import synthesize_frame
+
+
+@pytest.mark.parametrize("C,F,L", [(4, 1, 17), (3, 5, 1), (2, 1, 5)])
+def test_shared_slice_matches_gather(C, F, L):
+    rng = np.random.default_rng(0)
+    z = synthesize_frame("VE3EMB", "FN25", 30, start_sample=700,
+                         freq_offset=1.3)
+    z = awgn(z, -15, rng=rng)
+    zj = jnp.asarray(z)
+    # lag grids shaped like the real stages (span <= 256 samples: stage
+    # grids are +/-128 step 64, jiggles +/-64 step 8 — the shared-slice
+    # path supports spans up to 512)
+    step = 8 if L > 5 else (64 if L > 1 else 1)
+    lags = np.stack([640 + np.arange(L) * step - 128 for _ in range(C)])
+    lags += rng.integers(-5, 6, size=(C, 1))
+    lags = lags.astype(np.int32)
+    freqs = (1.3 + 0.25 * (np.arange(F) - F // 2)
+             )[None, :].repeat(C, 0).astype(np.float32)
+    drift = np.zeros((C, 162), np.float32)
+    drift[1:] = np.linspace(-0.7, 0.7, 162)[None, :]
+
+    p_new = _probe_powers_xla(zj, jnp.asarray(lags), jnp.asarray(freqs),
+                              jnp.asarray(drift), n_lags=L)
+    p_ref = _probe_powers_xla_gather(zj, jnp.asarray(lags),
+                                     jnp.asarray(freqs), jnp.asarray(drift),
+                                     n_lags=L)
+    np.testing.assert_allclose(np.asarray(p_new), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-2)
+
+
+def test_shared_slice_edge_lags():
+    """Negative and end-of-window lags read only zero padding."""
+    rng = np.random.default_rng(1)
+    z = (rng.normal(size=45000) + 1j * rng.normal(size=45000)
+         ).astype(np.complex64)
+    zj = jnp.asarray(z)
+    for lagval in (-200, 0, 3400):
+        lags = np.full((2, 3), lagval, np.int32) + np.arange(3)[None, :] * 16
+        freqs = np.zeros((2, 1), np.float32)
+        drift = np.zeros((2, 162), np.float32)
+        p_new = _probe_powers_xla(zj, jnp.asarray(lags), jnp.asarray(freqs),
+                                  jnp.asarray(drift), n_lags=3)
+        p_ref = _probe_powers_xla_gather(zj, jnp.asarray(lags),
+                                         jnp.asarray(freqs),
+                                         jnp.asarray(drift), n_lags=3)
+        np.testing.assert_allclose(np.asarray(p_new), np.asarray(p_ref),
+                                   rtol=2e-4, atol=2e-2)

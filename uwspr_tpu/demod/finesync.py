@@ -89,7 +89,62 @@ def _probe_use_pallas(probe_impl: str | None) -> bool:
 
 
 def _probe_powers_xla(z, lags, freqs, drift_sym, *, n_lags):
-    """Pure-XLA probe powers p (C, F, L, 162, 4) — the portable path."""
+    """Pure-XLA probe powers p (C, F, L, 162, 4) — the default path.
+
+    One contiguous slice per *candidate* (not per lag): all of a
+    candidate's probe lags lie within a <=256-sample span by construction
+    (stage grids are +/-128, jiggles +/-64), so a single 256-aligned
+    (162, W=1024) overlapped-row window covers every lag, and each lag's
+    256-sample symbol correlation is selected by masking the tone bank to
+    aligned columns [b, b+256). Evaluating the derotation/tone phases at
+    the aligned index j' = j + b multiplies each correlation by the unit
+    phasor exp(-i*w*b) — irrelevant, since only |corr| is consumed.
+
+    This exists because per-(candidate, lag) dynamic slices dominate the
+    decode on TPU (57 of 72 ms for a 17-lag stage — the vmapped slice
+    lowers to a gather at ~5% of HBM peak); sharing one slice across lags
+    cuts the traffic 17x and turns the per-lag work into one einsum.
+    """
+    N = z.shape[0]
+    C, F = freqs.shape
+    W = 1024
+    frame_len = 162 * 256
+    ext_len = frame_len + W
+    pad = 4096
+    zp = jnp.pad(z, (pad, pad + W)).at[pad].set(0)
+    starts = jnp.clip(lags.astype(jnp.int32) + pad, 0, pad + N)   # (C, L)
+    base = jnp.minimum((jnp.min(starts, axis=1) // 256) * 256,
+                       zp.shape[0] - ext_len)                     # (C,)
+    b = jnp.clip(starts - base[:, None], 0, W - 256)              # (C, L)
+
+    A = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(zp, (s,), (ext_len,)))(base)
+    # overlapped rows: Amat[c, i, j'] = zp[base + 256*i + j'], j' in [0, W)
+    blocks = [A[:, 256 * j: 256 * j + frame_len].reshape(C, 162, 256)
+              for j in range(W // 256)]
+    Amat = jnp.concatenate(blocks, axis=2)                        # (C,162,W)
+
+    jpf = jnp.arange(W, dtype=jnp.float32)
+    wd = (-2.0 * jnp.pi * _DT) * drift_sym[..., None] * jpf
+    zd = Amat * jax.lax.complex(jnp.cos(wd), jnp.sin(wd))         # (C,162,W)
+
+    ft = freqs[..., None] + jnp.asarray(_TONES_HZ)                # (C, F, 4)
+    wb = (-2.0 * jnp.pi * _DT) * ft[..., None] * jpf              # (C,F,4,W)
+    bank = jax.lax.complex(jnp.cos(wb), jnp.sin(wb))
+    bank = bank.reshape(C, 1, 4 * F, W)
+    mask = ((jpf[None, None, :] >= b[..., None])
+            & (jpf[None, None, :] < b[..., None] + 256)
+            ).astype(jnp.float32)                                 # (C, L, W)
+    bankm = bank * mask[:, :, None, :]                            # (C,L,4F,W)
+    corr = jnp.einsum("ciw,clmw->clim", zd, bankm,
+                      preferred_element_type=jnp.complex64)
+    p = jnp.abs(corr).reshape(C, n_lags, 162, F, 4)
+    return jnp.transpose(p, (0, 3, 1, 2, 4))                      # (C,F,L,162,4)
+
+
+def _probe_powers_xla_gather(z, lags, freqs, drift_sym, *, n_lags):
+    """Original per-lag-slice formulation — kept as the semantic reference
+    for tests (direct transcription of the per-lag correlation)."""
     N = z.shape[0]
     C, F = freqs.shape
     k = jnp.arange(256, dtype=jnp.float32)

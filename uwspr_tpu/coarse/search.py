@@ -231,6 +231,9 @@ def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+SELECT_UNROLL = 16
+
+
 @functools.partial(jax.jit, static_argnames=("threshold",))
 def select_best(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
                 *, threshold: float) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -259,9 +262,9 @@ def select_best(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
     init = (jnp.full(C, -1e30, jnp.float32), jnp.zeros(C, jnp.int32),
             jnp.int32(0))
     # unroll: the scan is ~16k tiny steps; unrolling trades compile size
-    # for an 8x shorter serial chain on device
+    # for a shorter serial chain on device
     (best, best_idx, _), _ = jax.lax.scan(body, init, (flat, step_is_nl),
-                                          unroll=16)
+                                          unroll=SELECT_UNROLL)
     return best, best_idx
 
 

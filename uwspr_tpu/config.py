@@ -57,6 +57,10 @@ class DemodConfig:
     fano_delta: int = 60          # Fano threshold step
     fano_bias: float = 0.45       # metric bias
     n_jiggles: int = 17           # idt = 0..128/iifac inclusive
+    fano_max_lanes: int = 1024    # device decoder: gated lanes compacted to
+                                  # this many before the lockstep Fano (the
+                                  # full 200x17 grid rarely passes gates;
+                                  # overflow lanes report failure)
 
     @property
     def minrms(self) -> float:    # plausibility gate: 52 * symfac/64

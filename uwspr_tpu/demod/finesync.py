@@ -180,6 +180,74 @@ def _probe_powers_xla_gather(z, lags, freqs, drift_sym, *, n_lags):
     return jnp.transpose(p, (0, 3, 1, 2, 4))                  # (C, F, L, 162, 4)
 
 
+# ---------------------------------------------------------------------------
+# shared probe context (device decoder): ONE aligned window per candidate
+# reused by every refinement stage; each stage is just a masked-bank einsum.
+# ---------------------------------------------------------------------------
+
+_W = 1024
+_PAD = 4096
+_FRAME = 162 * 256
+_REACH = 224            # max |lag - center| across all stages (128+32+64)
+
+
+def make_shared_probe(z: jnp.ndarray, center: jnp.ndarray):
+    """(N,) complex z + (C,) int32 coarse shifts -> (Amat (C,162,_W) complex,
+    base (C,) int32 absolute padded start).
+
+    Amat[c, i, j'] = zp[base_c + 256*i + j']: overlapped 512-stride rows
+    covering every probe lag within center +/- _REACH.
+    """
+    N = z.shape[0]
+    C = center.shape[0]
+    zp = jnp.pad(z, (_PAD, _PAD + _W)).at[_PAD].set(0)
+    start_min = center.astype(jnp.int32) + _PAD - _REACH
+    base = jnp.clip((start_min // 256) * 256, 0,
+                    zp.shape[0] - (_FRAME + _W))
+    A = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(zp, (s,), (_FRAME + _W,)))(base)
+    blocks = [A[:, 256 * j: 256 * j + _FRAME].reshape(C, 162, 256)
+              for j in range(_W // 256)]
+    return jnp.concatenate(blocks, axis=2), base
+
+
+def probe_derotate(Amat: jnp.ndarray, drift_sym: jnp.ndarray) -> jnp.ndarray:
+    """Apply the per-symbol drift phasor at the aligned index j'."""
+    jpf = jnp.arange(_W, dtype=jnp.float32)
+    wd = (-2.0 * jnp.pi * _DT) * drift_sym[..., None] * jpf
+    return Amat * jax.lax.complex(jnp.cos(wd), jnp.sin(wd))
+
+
+def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
+                      freqs: jnp.ndarray, *, n_lags: int,
+                      want_symbols: bool = False):
+    """Evaluate sync (C, F, L) [+ tone powers] for probes against a shared
+    derotated window. Phases are evaluated at the aligned index, which
+    rotates each correlation by a unit phasor — only |corr| is consumed."""
+    C, F = freqs.shape
+    jpf = jnp.arange(_W, dtype=jnp.float32)
+    b = jnp.clip(lags.astype(jnp.int32) + _PAD - base[:, None], 0, _W - 256)
+    ft = freqs[..., None] + jnp.asarray(_TONES_HZ)                # (C, F, 4)
+    wb = (-2.0 * jnp.pi * _DT) * ft[..., None] * jpf              # (C,F,4,W)
+    bank = jax.lax.complex(jnp.cos(wb), jnp.sin(wb)).reshape(C, 1, 4 * F, _W)
+    mask = ((jpf[None, None, :] >= b[..., None])
+            & (jpf[None, None, :] < b[..., None] + 256)
+            ).astype(jnp.float32)                                 # (C, L, W)
+    bankm = bank * mask[:, :, None, :]                            # (C,L,4F,W)
+    corr = jnp.einsum("ciw,clmw->clim", zd, bankm,
+                      preferred_element_type=jnp.complex64)
+    p = jnp.abs(corr).reshape(C, n_lags, 162, F, 4)
+    p = jnp.transpose(p, (0, 3, 1, 2, 4))                         # (C,F,L,162,4)
+    sign = jnp.asarray(2.0 * SYNC_VECTOR.astype(np.float32) - 1.0)
+    cmet = (p[..., 1] + p[..., 3]) - (p[..., 0] + p[..., 2])
+    ss = jnp.einsum("cfli,i->cfl", cmet, sign)
+    totp = p.sum(axis=(-2, -1))
+    sync = (ss / totp).astype(jnp.float32)
+    if want_symbols:
+        return sync, p
+    return sync
+
+
 def eval_probe_grid_core(z: jnp.ndarray, lags: jnp.ndarray, freqs: jnp.ndarray,
                          drift_sym: jnp.ndarray, *, n_lags: int,
                          want_symbols: bool = False,
@@ -375,4 +443,5 @@ class FineSync:
 
 
 __all__ = ["FineSync", "Refined", "eval_probe_grid",
-           "eval_probe_grid_core", "complex_to_ri", "drift_offsets"]
+           "eval_probe_grid_core", "complex_to_ri", "drift_offsets",
+           "make_shared_probe", "probe_derotate", "shared_probe_eval"]

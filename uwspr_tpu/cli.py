@@ -54,7 +54,8 @@ def _cmd_decode(args):
 
     ht = HashTable.load(args.hashtable) if args.hashtable else HashTable()
     decoder, decode_spots, engine = _make_engine(args, ht)
-    logger = SpotLogger(args.messagelog, args.jsonl) if args.messagelog else None
+    logger = (SpotLogger(args.messagelog, args.jsonl, args.spots)
+              if (args.messagelog or args.spots) else None)
 
     if args.wav or str(args.file).lower().endswith(".wav"):
         from uwspr_tpu.frontend.downconvert import downconvert
@@ -219,6 +220,8 @@ def main(argv=None):
     d.add_argument("--hashtable", default=None)
     d.add_argument("--messagelog", default=None)
     d.add_argument("--jsonl", default=None)
+    d.add_argument("--spots", default=None,
+                   help="append wsprd-style wspr_spots.txt lines here")
     d.add_argument("--sim-drift", type=float, default=0.0,
                    help="inject synthetic linear drift (Hz/minute) before "
                         "decoding, like the reference c2file_source")

@@ -19,11 +19,16 @@ from uwspr_tpu.pipeline.decoder import Spot
 
 class SpotLogger:
     def __init__(self, text_path: str | None = "messagelog.txt",
-                 jsonl_path: str | None = None):
+                 jsonl_path: str | None = None,
+                 spots_path: str | None = None):
         self.start = time.time()
         self.framecount = 0
         self._text = open(text_path, "a") if text_path else None
         self._jsonl = open(jsonl_path, "a") if jsonl_path else None
+        # wsprd "wspr_spots.txt" format (the file the reference's unpacker
+        # opens, WSPR_unpacker_impl.cc:58-67):
+        #   YYMMDD HHMM snr dt freq drift message
+        self._spots = open(spots_path, "a") if spots_path else None
         if self._text:
             self._text.write(
                 f"Start time: {time.asctime(time.localtime(self.start))}\n\n")
@@ -58,9 +63,16 @@ class SpotLogger:
             d["time"] = time.time()
             self._jsonl.write(json.dumps(d) + "\n")
             self._jsonl.flush()
+        if self._spots:
+            t = time.gmtime()
+            self._spots.write(
+                f"{time.strftime('%y%m%d %H%M', t)} {spot.snr:6.1f} "
+                f"{spot.shift / 375.0:5.2f} {spot.freq:10.6f} "
+                f"{spot.drift:2.0f}  {spot.message}\n")
+            self._spots.flush()
 
     def close(self) -> None:
-        for f in (self._text, self._jsonl):
+        for f in (self._text, self._jsonl, self._spots):
             if f:
                 f.close()
 

@@ -16,7 +16,6 @@ uint8 payload array is the device/host boundary, mirroring the reference's
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

@@ -16,7 +16,6 @@ import numpy as np
 
 from uwspr_tpu.protocol.constants import (
     INTERLEAVE_PERM,
-    N_CODED_BITS,
     N_SYMBOLS,
     POLY1,
     POLY2,

@@ -1,0 +1,47 @@
+"""CLI surface tests (subprocess, CPU platform, warm compile cache)."""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def run_cli(*args, timeout=420):
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    return subprocess.run(
+        [sys.executable, "-m", "uwspr_tpu.cli", "--platform", "cpu", *args],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
+
+
+@pytest.mark.slow
+def test_decode_golden(reference_examples):
+    r = run_cli("decode", str(reference_examples / "VE3EMB.c2"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "VE3EMB FN25 30" in r.stdout
+
+
+@pytest.mark.slow
+def test_encode_decode_roundtrip(tmp_path):
+    c2 = tmp_path / "t.c2"
+    r = run_cli("encode", "K1ABC", "FN42", "37", "-o", str(c2),
+                "--freq-offset", "2.5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert c2.stat().st_size == 360026        # reference c2 layout
+    r = run_cli("decode", str(c2), "--jsonl", str(tmp_path / "s.jsonl"),
+                "--spots", str(tmp_path / "spots.txt"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "K1ABC FN42 37" in r.stdout
+    assert "K1ABC FN42 37" in (tmp_path / "spots.txt").read_text()
+    assert '"message": "K1ABC FN42 37"' in (tmp_path / "s.jsonl").read_text()
+
+
+def test_invalid_grid_rejected():
+    r = run_cli("encode", "K1ABC", "ZZ99", "37", "-o", "/tmp/x.c2",
+                timeout=180)
+    assert r.returncode != 0
+    assert "A-R" in r.stderr

@@ -38,37 +38,47 @@ assert len(jax.devices()) == 4
 
 mesh = global_mesh(n_channel=2, n_time=2)
 config = PipelineConfig(coarse=CoarseConfig(maxfreqs=4),
-                        demod=DemodConfig(maxcycles=256, n_jiggles=3),
+                        demod=DemodConfig(maxcycles=128, n_jiggles=3),
                         stream=StreamConfig())
 dec = ShardedDecoder(config, mesh)
-hop = dec.hop
+hop, halo = dec.hop, dec.halo
 
+# a FULL decodable frame: its 41472 samples span both 3375-sample time
+# blocks plus the tail, so a decode proves the cross-process ppermute
+# halo exchange carries correct samples
 rng = np.random.default_rng(0)          # same stream on both hosts
-sigma = noise_sigma(-8.0)
-x = (rng.normal(scale=sigma, size=(2, 2 * hop))
-     + 1j * rng.normal(scale=sigma, size=(2, 2 * hop))).astype(np.complex64)
+sigma = noise_sigma(-14.0)
+total_len = 2 * hop
+x = (rng.normal(scale=sigma, size=(2, total_len))
+     + 1j * rng.normal(scale=sigma, size=(2, total_len))).astype(np.complex64)
+tail = (rng.normal(scale=sigma, size=(2, halo))
+        + 1j * rng.normal(scale=sigma, size=(2, halo))).astype(np.complex64)
 frame = synthesize_frame("VE3EMB", "FN25", 30, pad_to=None, freq_offset=1.0)
-x[0, 100:100 + 2 * hop - 100] += frame[:2 * hop - 100]
+stream = np.concatenate([x, tail], axis=1)
+stream[0, 300:300 + len(frame)] += frame
+x, tail = stream[:, :total_len], stream[:, total_len:]
 
-# build the global sharded input from per-process rows
-x_ri = np.stack([x.real.astype(np.float32), x.imag.astype(np.float32)],
-                axis=1)                              # (2, 2, T)
-sharding = NamedSharding(mesh, P("channel", None, "time"))
-global_x = jax.make_array_from_process_local_data(
-    sharding, x_ri[jax.process_index():jax.process_index() + 1], (2, 2, x.shape[1]))
-
-# compile + run one sharded step directly (decode() assembles host-local
-# arrays; here the global array is built explicitly)
-step = dec._build(ch_local=1, block_len=hop)
-out, n_spots = step(global_x)
-jax.block_until_ready(out)
-# the output is globally sharded; each process reads its own shards, and
-# the psum'd spot count is replicated everywhere
+# decode() builds the global arrays with make_array_from_callback, which
+# works in multi-process jobs (each process supplies its local shards)
+out, n_spots = dec.decode(x, tail)
+total = int(np.asarray(n_spots))        # psum'd: replicated on every host
+assert total >= 1, f"boundary-straddling frame did not decode ({total})"
 local = out["success"].addressable_shards
 assert len(local) == 2, len(local)                   # 2 local devices
-total = int(np.asarray(n_spots))
+
+# each process unpacks the messages its local shards decoded
+from uwspr_tpu.protocol.messages import unpack_message
+found = []
+for ss, ps in zip(out["success"].addressable_shards,
+                  out["payload"].addressable_shards):
+    succ = np.asarray(ss.data)[0, 0]
+    pay = np.asarray(ps.data)[0, 0]
+    for c in np.flatnonzero(succ):
+        u = unpack_message(bytes(pay[c]))
+        if u is not None:
+            found.append(u.text)
 print(f"RESULT {jax.process_index()} local_shards={len(local)} "
-      f"global_spots={total}", flush=True)
+      f"global_spots={total} found={found}", flush=True)
 print("MULTIHOST_OK", flush=True)
 """
 
@@ -96,3 +106,6 @@ def test_two_process_mesh(tmp_path):
         outs.append(out)
     for i, out in enumerate(outs):
         assert "MULTIHOST_OK" in out, f"process {i} failed:\n{out[-3000:]}"
+    # the frame's message must have been unpacked by the process owning
+    # channel 0 / window 0 (whichever that is)
+    assert any("VE3EMB FN25 30" in out for out in outs), outs

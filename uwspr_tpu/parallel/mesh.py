@@ -5,25 +5,39 @@ its implicit "pipeline parallelism" (GNU Radio block threads working on
 PDUs in flight) is replaced by data parallelism over a 2-D device mesh:
 
 - axis "channel": independent receive channels, embarrassingly parallel;
-- axis "time": a continuous stream is split into hop-aligned blocks per
-  shard. Every 120 s window overlaps the next block by fl-hop samples
-  (111 s), so each shard fetches a *right halo* of fl-hop samples from its
-  neighbor with lax.ppermute over ICI before windowing — the overlap-save
-  equivalent of the reference's ring-buffer window builder
+- axis "time": a continuous stream is split into hop-aligned blocks, one
+  per shard. Every 120 s window overlaps the following samples by fl-hop
+  (111 s), so each shard must see a *right halo* of fl-hop samples beyond
+  its own block — the overlap-save equivalent of the reference's
+  ring-buffer window builder
   (lib/sliding_window_stream_to_pdu_impl.cc:113-135).
 
-Global spot statistics are reduced with psum. Decoded payloads stay
-sharded; the host gathers only the 7-byte messages.
+Because the halo (fl-hop = 41625 samples) is usually LONGER than a
+hop-aligned block, the halo is assembled by a *chained* lax.ppermute:
+ceil(halo/block) rounds, each forwarding one more right-neighbor block
+over ICI. Shards whose halo extends past the end of the step's data patch
+the missing region from a host-provided ``tail`` (the next samples of the
+stream, or zeros at end-of-stream). The time axis is therefore NOT
+circular: window w of shard t covers exactly global samples
+[t*block + w*hop, t*block + w*hop + fl), identical to a single-device
+sliding window over the concatenated stream.
 
-The time axis is circular within one step (the last shard's halo comes
-from the first shard). A streaming driver keeps continuity by overlapping
-consecutive steps by one hop-aligned block, exactly like the single-host
-SlidingWindow does between pushes.
+Global spot statistics are reduced with psum. Decoded payloads stay
+sharded; the host gathers only the (C, 7)-byte messages.
+
+``ShardedStreamDecoder`` is the streaming driver: it buffers a continuous
+multichannel stream on the host, feeds fixed-size hop-aligned steps
+through the sharded decode (passing the first fl-hop samples of the
+*next* step as the tail), unpacks spots, and supports checkpoint/resume
+like the single-host StreamDecoder.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +45,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from uwspr_tpu.config import PipelineConfig
-from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder, DeviceDecoderOutput
 
 
 def make_mesh(n_channel: int, n_time: int, devices=None) -> Mesh:
@@ -42,11 +56,46 @@ def make_mesh(n_channel: int, n_time: int, devices=None) -> Mesh:
     return Mesh(devs, axis_names=("channel", "time"))
 
 
+def extend_with_halo(x_ri: jnp.ndarray, tail_ri: jnp.ndarray, *,
+                     n_time: int, block_len: int, halo: int,
+                     axis_name: str = "time") -> jnp.ndarray:
+    """Per-shard (ch_l, 2, block_len) block -> (ch_l, 2, block_len + halo).
+
+    Runs inside shard_map. Chains ceil(halo/block_len) ppermute rounds so
+    shard t accumulates the blocks of shards t+1, t+2, ...; positions past
+    the last shard are patched from ``tail_ri`` (ch_l, 2, halo), which is
+    replicated along the time axis and holds the stream samples that
+    globally follow this step's data.
+    """
+    if n_time == 1:
+        return jnp.concatenate([x_ri, tail_ri], axis=2)
+    k = -(-halo // block_len)                       # ppermute rounds
+    t = jax.lax.axis_index(axis_name)
+    pad = k * block_len - halo
+    tail_pad = jnp.pad(tail_ri, ((0, 0), (0, 0), (0, pad)))
+    perm = [(i, (i - 1) % n_time) for i in range(n_time)]
+    pieces = [x_ri]
+    recv = x_ri
+    for m in range(1, k + 1):
+        # after m rounds, shard t holds shard (t+m) mod n_time's block
+        recv = jax.lax.ppermute(recv, axis_name, perm=perm)
+        in_range = (t + m) < n_time
+        # wrapped shards carry next-step data: take it from the tail, whose
+        # offset within this shard's halo is (t+m-n_time)*block_len
+        off = jnp.maximum(t + m - n_time, 0) * block_len
+        patch = jax.lax.dynamic_slice_in_dim(tail_pad, off, block_len, axis=2)
+        pieces.append(jnp.where(in_range, recv, patch))
+    ext = jnp.concatenate(pieces, axis=2)
+    return ext[:, :, : block_len + halo]
+
+
 class ShardedDecoder:
     """Decode (channels, time_samples) arrays sharded over a mesh.
 
     time_samples per shard must be a multiple of the window hop; each shard
-    decodes block_len // hop windows.
+    decodes block_len // hop windows. Window starts are global-contiguous
+    across time shards (shard t's window w starts at t*block_len + w*hop),
+    so the output's window axis is in global stream order.
     """
 
     def __init__(self, config: PipelineConfig | None = None,
@@ -64,9 +113,12 @@ class ShardedDecoder:
     def hop(self) -> int:
         return self.config.stream.shift * self.config.stream.fs
 
+    @property
+    def halo(self) -> int:
+        return self.fl - self.hop
+
     def _build(self, ch_local: int, block_len: int):
-        fl, hop = self.fl, self.hop
-        halo = fl - hop
+        fl, hop, halo = self.fl, self.hop, self.halo
         n_win = block_len // hop
         n_time = self.mesh.shape["time"]
         decode = self.decoder._decode_window
@@ -77,15 +129,11 @@ class ShardedDecoder:
             windows = ext_row[idx]                      # (n_win, fl)
             return jax.lax.map(decode, windows)
 
-        def shard_fn(x_ri):                     # (ch_l, 2, block_len) float32
-            lead = x_ri[:, :, :halo]
-            if n_time > 1:
-                perm = [(i, (i - 1) % n_time) for i in range(n_time)]
-                recv = jax.lax.ppermute(lead, "time", perm=perm)
-            else:
-                recv = lead
-            ext_ri = jnp.concatenate([x_ri, recv], axis=2)
-            ext = jax.lax.complex(ext_ri[:, 0], ext_ri[:, 1])  # (ch_l, T+halo)
+        def shard_fn(x_ri, tail_ri):        # (ch_l, 2, block_len), (ch_l, 2, halo)
+            ext_ri = extend_with_halo(x_ri, tail_ri, n_time=n_time,
+                                      block_len=block_len, halo=halo)
+            ext = jnp.asarray(ext_ri[:, 0] + 1j * ext_ri[:, 1],
+                              dtype=jnp.complex64)      # (ch_l, block+halo)
             out = jax.lax.map(per_channel, ext)         # dict of (ch_l, n_win, ...)
             n_local = out["success"].sum()
             n_global = jax.lax.psum(n_local, ("channel", "time"))
@@ -95,16 +143,48 @@ class ShardedDecoder:
         # start from literal constants, which the varying-axis checker would
         # require pvary annotations on at every init; execution is unaffected.
         fn = jax.shard_map(shard_fn, mesh=self.mesh,
-                           in_specs=P("channel", None, "time"),
+                           in_specs=(P("channel", None, "time"),
+                                     P("channel", None, None)),
                            out_specs=(P("channel", "time"), P()),
                            check_vma=False)
         return jax.jit(fn)
 
-    def decode(self, x: np.ndarray):
-        """x: (channels, time_samples) complex64, divisible by mesh shape.
+    def _sharded_inputs(self, x: np.ndarray, tail: np.ndarray | None):
+        """Host (channels, T) complex + optional (channels, halo) tail ->
+        globally sharded (channels, 2, T) / (channels, 2, halo) f32 arrays.
+
+        Uses jax.make_array_from_callback so the same path works in
+        multi-process (multi-host) jobs, where each process only supplies
+        the shards its local devices own.
+        """
+        x = np.asarray(x)
+        channels = x.shape[0]
+        if tail is None:
+            tail = np.zeros((channels, self.halo), dtype=np.complex64)
+        tail = np.asarray(tail)
+        assert tail.shape == (channels, self.halo), tail.shape
+
+        def to_ri(a):
+            return np.stack([a.real.astype(np.float32),
+                             a.imag.astype(np.float32)], axis=1)
+
+        x_ri, tail_ri = to_ri(x), to_ri(tail)
+        sh_x = NamedSharding(self.mesh, P("channel", None, "time"))
+        sh_t = NamedSharding(self.mesh, P("channel", None, None))
+        gx = jax.make_array_from_callback(x_ri.shape, sh_x,
+                                          lambda idx: x_ri[idx])
+        gt = jax.make_array_from_callback(tail_ri.shape, sh_t,
+                                          lambda idx: tail_ri[idx])
+        return gx, gt
+
+    def decode(self, x: np.ndarray, tail: np.ndarray | None = None):
+        """x: (channels, time_samples) complex64, divisible by mesh shape;
+        tail: (channels, fl-hop) samples that follow x in the stream
+        (zeros = end of stream).
 
         Returns (outputs dict of global arrays (channels, windows, C, ...),
-        total_spots scalar).
+        total_spots scalar). Window w along axis 1 starts at global sample
+        w*hop.
         """
         n_ch, n_t = self.mesh.shape["channel"], self.mesh.shape["time"]
         channels, total = x.shape
@@ -116,12 +196,142 @@ class ShardedDecoder:
         key = (channels // n_ch, block_len)
         if self._step is None or self._step[0] != key:
             self._step = (key, self._build(*key))
-        sharding = NamedSharding(self.mesh, P("channel", None, "time"))
-        x = np.asarray(x)
-        x_ri = np.stack([x.real.astype(np.float32),
-                         x.imag.astype(np.float32)], axis=1)
-        xs = jax.device_put(jnp.asarray(x_ri), sharding)
-        return self._step[1](xs)
+        gx, gt = self._sharded_inputs(x, tail)
+        return self._step[1](gx, gt)
+
+
+@dataclasses.dataclass
+class ShardedStreamStats:
+    steps: int = 0
+    windows: int = 0
+    spots: int = 0
+
+
+class ShardedStreamDecoder:
+    """Continuous multichannel decoding over a (channel, time) mesh.
+
+    The mesh analogue of pipeline.stream.StreamDecoder: push() buffers
+    samples per channel on the host; whenever a full step
+    (n_time * wins_per_shard hops) plus its fl-hop lookahead tail is
+    buffered, one sharded decode step runs. Consecutive steps are
+    continuous: step boundaries are hop-aligned and the tail of step s is
+    the head of step s+1, so the emitted window sequence is identical to a
+    single-device sliding window (window w starts at global sample w*hop
+    — the reference's windowing contract,
+    lib/sliding_window_stream_to_pdu_impl.cc:113-135).
+    """
+
+    def __init__(self, config: PipelineConfig | None = None,
+                 mesh: Mesh | None = None, n_channels: int | None = None,
+                 wins_per_shard: int = 1, hashtable=None):
+        from uwspr_tpu.protocol.messages import HashTable
+        self.dec = ShardedDecoder(config, mesh)
+        self.mesh = self.dec.mesh
+        self.config = self.dec.config
+        self.n_time = self.mesh.shape["time"]
+        self.n_channels = (n_channels if n_channels is not None
+                           else self.mesh.shape["channel"])
+        assert self.n_channels % self.mesh.shape["channel"] == 0
+        self.wins_per_shard = wins_per_shard
+        self.step_len = self.n_time * wins_per_shard * self.dec.hop
+        self.hashtable = hashtable if hashtable is not None else HashTable()
+        self._buf = np.zeros((self.n_channels, 0), dtype=np.complex64)
+        self.windows_emitted = 0          # global window index of next emit
+        self.stats = ShardedStreamStats()
+
+    @property
+    def hop(self) -> int:
+        return self.dec.hop
+
+    @property
+    def halo(self) -> int:
+        return self.dec.halo
+
+    def _emit(self, out, n_spots, n_windows: int):
+        """Gather one step's sharded outputs and unpack spots on the host.
+
+        Returns [(channel, global_window_index, Spot), ...].
+        """
+        host = {k: np.asarray(v) for k, v in out.items()}
+        results = []
+        for ch in range(self.n_channels):
+            for w in range(n_windows):
+                if not host["success"][ch, w].any():
+                    continue
+                one = DeviceDecoderOutput(
+                    **{k: host[k][ch, w] for k in host})
+                for spot in self.dec.decoder.spots(one, self.hashtable):
+                    results.append(
+                        (ch, self.windows_emitted + w, spot))
+        self.stats.steps += 1
+        self.stats.windows += n_windows * self.n_channels
+        self.stats.spots += int(np.asarray(n_spots))
+        self.windows_emitted += n_windows
+        return results
+
+    def push(self, samples: np.ndarray):
+        """samples: (n,) or (channels, n). Returns
+        [(channel, global_window_index, Spot), ...] for every step that
+        completed."""
+        samples = np.atleast_2d(np.asarray(samples, dtype=np.complex64))
+        assert samples.shape[0] == self.n_channels
+        self._buf = np.concatenate([self._buf, samples], axis=1)
+        results = []
+        while self._buf.shape[1] >= self.step_len + self.halo:
+            x = self._buf[:, :self.step_len]
+            tail = self._buf[:, self.step_len:self.step_len + self.halo]
+            out, n_spots = self.dec.decode(x, tail)
+            self._buf = self._buf[:, self.step_len:]
+            n_windows = self.step_len // self.hop
+            results.extend(self._emit(out, n_spots, n_windows))
+        return results
+
+    def flush(self):
+        """End of stream: decode the windows still completable from the
+        buffered samples (those with start + fl <= buffered length),
+        zero-padding the step to its fixed shape. Windows that would
+        extend into the zero padding are NOT emitted, matching the
+        single-device StreamDecoder (which never emits partial windows)."""
+        true_len = self._buf.shape[1]
+        n_true = max(0, (true_len - self.config.stream.fl) // self.hop + 1)
+        if n_true == 0:
+            return []
+        padded = np.zeros((self.n_channels, self.step_len + self.halo),
+                          dtype=np.complex64)
+        padded[:, :true_len] = self._buf
+        out, _ = self.dec.decode(padded[:, :self.step_len],
+                                 padded[:, self.step_len:])
+        host = {k: np.asarray(v) for k, v in out.items()}
+        # recount spots over the kept windows only
+        kept = {k: v[:, :n_true] for k, v in host.items()}
+        n_spots = int(kept["success"].sum())
+        results = self._emit(kept, n_spots, n_true)
+        self._buf = self._buf[:, n_true * self.hop:]
+        return results
+
+    # -- checkpoint/resume (parity with StreamDecoder, SURVEY.md §5) -------
+
+    def save_checkpoint(self, directory: str | os.PathLike) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez(os.path.join(directory, "mesh_buffer.npz"), buf=self._buf)
+        self.hashtable.save(os.path.join(directory, "hashtable.txt"))
+        state = dict(self.stats.__dict__, windows_emitted=self.windows_emitted)
+        with open(os.path.join(directory, "stream_state.json"), "w") as f:
+            json.dump(state, f)
+
+    def load_checkpoint(self, directory: str | os.PathLike) -> None:
+        from uwspr_tpu.protocol.messages import HashTable
+        data = np.load(os.path.join(directory, "mesh_buffer.npz"))
+        self._buf = data["buf"].astype(np.complex64)
+        ht = os.path.join(directory, "hashtable.txt")
+        if os.path.exists(ht):
+            self.hashtable = HashTable.load(ht)
+        sp = os.path.join(directory, "stream_state.json")
+        if os.path.exists(sp):
+            with open(sp) as f:
+                state = json.load(f)
+            self.windows_emitted = state.pop("windows_emitted", 0)
+            self.stats = ShardedStreamStats(**state)
 
 
 @functools.lru_cache(maxsize=None)
@@ -130,4 +340,5 @@ def cpu_mesh(n_channel: int, n_time: int) -> Mesh:
     return make_mesh(n_channel, n_time)
 
 
-__all__ = ["make_mesh", "ShardedDecoder", "cpu_mesh"]
+__all__ = ["make_mesh", "extend_with_halo", "ShardedDecoder",
+           "ShardedStreamDecoder", "ShardedStreamStats", "cpu_mesh"]

@@ -22,6 +22,12 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+# persistent compile cache: decoder programs take minutes to build on the
+# CPU backend and dominate suite time; cached recompiles are near-instant
+from uwspr_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 REFERENCE_DIR = pathlib.Path("/root/reference")
 
 import pytest  # noqa: E402

@@ -45,3 +45,42 @@ def test_invalid_grid_rejected():
                 timeout=180)
     assert r.returncode != 0
     assert "A-R" in r.stderr
+
+
+@pytest.mark.slow
+def test_serve_stdin_cf32(tmp_path):
+    """Live external input: raw interleaved float32 I/Q on stdin must flow
+    through the streaming decoder and produce a spot + ALL_WSPR line (the
+    reference's AudioSourceDecode.grc receiver role)."""
+    import numpy as np
+    sys.path.insert(0, str(REPO))
+    from uwspr_tpu.protocol.modulate import synthesize_frame
+
+    z = synthesize_frame("K1ABC", "FN42", 37, start_sample=900,
+                         freq_offset=1.5)
+    iq = np.empty(2 * len(z), dtype="<f4")
+    iq[0::2], iq[1::2] = z.real, z.imag
+    allwspr = tmp_path / "ALL_WSPR.TXT"
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    r = subprocess.run(
+        [sys.executable, "-m", "uwspr_tpu.cli", "--platform", "cpu",
+         "serve", "--input", "-", "--format", "cf32",
+         "--allwspr", str(allwspr)],
+        input=iq.tobytes(), capture_output=True, timeout=420, cwd=REPO,
+        env=env)
+    assert r.returncode == 0, r.stderr[-2000:].decode()
+    assert b"K1ABC FN42 37" in r.stdout
+    assert "K1ABC FN42 37" in allwspr.read_text()
+
+
+@pytest.mark.slow
+def test_serve_follow_c2_repeat(reference_examples):
+    """Follow a .c2 capture with --repeat (reference c2file_source repeat
+    flag): the looped stream must keep emitting windows and decode the
+    golden message."""
+    r = run_cli("serve", "--input", str(reference_examples / "VE3EMB.c2"),
+                "--repeat", "--windows", "16")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "VE3EMB FN25 30" in r.stdout
+    assert "windows" in r.stderr

@@ -45,6 +45,42 @@ def test_device_matches_host_on_noisy(device_decoder):
     assert s.freq == pytest.approx(-3.0, abs=0.4)
 
 
+@pytest.mark.slow
+def test_device_vs_host_parity():
+    """The device decoder and the host WindowDecoder share kernels but
+    orchestrate differently (one fused XLA program vs staged host calls);
+    they must produce the same message sets and closely matching refined
+    (freq, shift) across the usable SNR range on identical windows."""
+    from uwspr_tpu.pipeline.decoder import WindowDecoder
+
+    # maxcycles=2000 (serving profile): identical for both engines; the
+    # full 10000-cycle budget makes the lockstep device Fano crawl on the
+    # CPU backend without changing decode outcomes above -28 dB
+    config = PipelineConfig(coarse=CoarseConfig(maxfreqs=48),
+                            demod=DemodConfig(maxcycles=2000))
+    device_decoder = DeviceDecoder(config)
+    host = WindowDecoder(config)
+    rng = np.random.default_rng(42)
+    calls = ["VE3EMB", "K1ABC", "W9XYZ", "VE3EMB", "K1ABC"]
+    for i, snr in enumerate([-15.0, -18.0, -21.0, -24.0, -26.0]):
+        f = float(rng.uniform(-6, 6))
+        start = int(rng.integers(0, 3000))
+        z = synthesize_frame(calls[i], "FN25", 30, start_sample=start,
+                             freq_offset=f)
+        z = awgn(z, snr, rng=rng)
+        dev_out = device_decoder(z)
+        dev_spots = device_decoder.spots(dev_out)
+        host_spots = host(z).spots
+        dev_msgs = {s.message for s in dev_spots}
+        host_msgs = {s.message for s in host_spots}
+        assert dev_msgs == host_msgs, (snr, dev_msgs, host_msgs)
+        assert f"{calls[i]} FN25 30" in dev_msgs, (snr, dev_msgs)
+        for hs in host_spots:
+            ds = next(s for s in dev_spots if s.message == hs.message)
+            assert abs(ds.freq - hs.freq) < 0.06, (snr, ds.freq, hs.freq)
+            assert abs(ds.shift - hs.shift) <= 16, (snr, ds.shift, hs.shift)
+
+
 def test_device_noise_only(device_decoder):
     rng = np.random.default_rng(5)
     sigma = noise_sigma(-18.0)

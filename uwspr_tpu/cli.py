@@ -54,8 +54,10 @@ def _cmd_decode(args):
 
     ht = HashTable.load(args.hashtable) if args.hashtable else HashTable()
     decoder, decode_spots, engine = _make_engine(args, ht)
-    logger = (SpotLogger(args.messagelog, args.jsonl, args.spots)
-              if (args.messagelog or args.spots) else None)
+    logger = (SpotLogger(args.messagelog, args.jsonl, args.spots,
+                         args.allwspr)
+              if (args.messagelog or args.jsonl or args.spots
+                  or args.allwspr) else None)
 
     if args.wav or str(args.file).lower().endswith(".wav"):
         from uwspr_tpu.frontend.downconvert import downconvert
@@ -162,24 +164,18 @@ def _cmd_sweep(args):
     print(json.dumps({"trials": r.trials, "decode_rate": r.as_dict()}))
 
 
-def _cmd_serve(args):
-    """Continuous multichannel decode of synthetic traffic (throughput demo).
-
-    Frames stream contiguously across hop boundaries (a 111 s frame spans
-    ~13 hops), riding on hop-by-hop AWGN at the requested SNR — the
-    streaming analogue of the reference's closed-loop flowgraph."""
+def _synthetic_source(args, hop, info):
+    """Self-generated traffic: frames stream contiguously across hop
+    boundaries (a 111 s frame spans ~13 hops), riding on hop-by-hop AWGN
+    at the requested SNR — the streaming analogue of the reference's
+    closed-loop flowgraph (examples/WaveFilePlusNoiseDecode.grc)."""
     from uwspr_tpu.io.channel import noise_sigma
-    from uwspr_tpu.pipeline.stream import StreamDecoder
     from uwspr_tpu.protocol.modulate import synthesize_frame
 
-    sd = StreamDecoder(n_channels=args.channels)
     rng = np.random.default_rng(0)
-    hop = sd.windows[0].hop
     sigma = noise_sigma(args.snr)
     pending = [np.zeros(0, np.complex64) for _ in range(args.channels)]
-    sent = 0
-    t0 = time.time()
-    for w in range(args.windows):
+    for _ in range(args.windows):
         block = (rng.normal(scale=sigma, size=(args.channels, hop))
                  + 1j * rng.normal(scale=sigma, size=(args.channels, hop))
                  ).astype(np.complex64)
@@ -188,19 +184,122 @@ def _cmd_serve(args):
                 pending[ch] = synthesize_frame(
                     "VE3EMB", "FN25", 30, pad_to=None,
                     freq_offset=rng.uniform(-5, 5)).copy()
-                sent += 1
+                info["sent"] += 1
             n = min(hop, len(pending[ch]))
             if n:
                 block[ch, :n] += pending[ch][:n]
                 pending[ch] = pending[ch][n:]
+        yield block
+
+
+def _stdin_source(args, hop):
+    """Live external samples on stdin — the path that makes ``serve`` a
+    real receiver (reference flagship examples/AudioSourceDecode.grc):
+    cf32 = interleaved float32 I/Q at 375 S/s baseband; s16 = 12 kS/s
+    signed 16-bit mono audio, downconverted block-by-block with carried
+    filter/mixer state."""
+    if args.format == "cf32":
+        buf = b""
+        while True:
+            data = sys.stdin.buffer.read(8 * hop)
+            if not data:
+                return
+            buf += data
+            n = (len(buf) // 8) * 8
+            if n == 0:
+                continue
+            iq = np.frombuffer(buf[:n], "<f4")
+            buf = buf[n:]
+            yield (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)[None, :]
+    else:                                   # s16 audio at 12 kS/s
+        from uwspr_tpu.frontend.downconvert import StreamingDownconverter
+        dc = StreamingDownconverter()
+        while True:
+            data = sys.stdin.buffer.read(2 * 32 * hop)
+            if not data:
+                return
+            audio = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+            z = dc.push(audio)
+            if len(z):
+                yield z[None, :]
+
+
+def _file_source(args, hop):
+    """Follow a capture file (.c2 or .wav), optionally looping (the
+    reference c2file_source's ``repeat``); --windows bounds the repeated
+    stream."""
+    limit = args.windows * hop if args.repeat else None
+    if str(args.input).lower().endswith(".wav"):
+        from uwspr_tpu.frontend.downconvert import downconvert
+        from uwspr_tpu.io.wavfile import read_wav
+        audio, _ = read_wav(args.input)
+        z = downconvert(audio)
+
+        def blocks():
+            pos = 0
+            while True:
+                chunk = z[pos % len(z):(pos % len(z)) + hop]
+                if len(chunk) < hop and args.repeat:
+                    chunk = np.concatenate([chunk, z[:hop - len(chunk)]])
+                if len(chunk) == 0:
+                    return
+                yield chunk
+                pos += len(chunk)
+                if not args.repeat and pos >= len(z):
+                    return
+        src = blocks()
+    else:
+        from uwspr_tpu.io.c2file import c2_stream
+        src = c2_stream(args.input, repeat=args.repeat,
+                        drift_rate=args.sim_drift, block=hop)
+    sent = 0
+    for chunk in src:
+        if limit is not None and sent >= limit:
+            return
+        sent += len(chunk)
+        yield chunk[None, :]
+
+
+def _cmd_serve(args):
+    """Continuous receiver: decode a live or synthetic multichannel stream.
+
+    --input synthetic (default) generates closed-loop traffic; '-' reads
+    raw samples from stdin; a .c2/.wav path follows the file (--repeat to
+    loop). External inputs are single-channel."""
+    from uwspr_tpu.pipeline.stream import StreamDecoder
+    from uwspr_tpu.protocol.messages import HashTable
+    from uwspr_tpu.utils.spotlog import SpotLogger
+
+    external = args.input != "synthetic"
+    channels = 1 if external else args.channels
+    ht = HashTable.load(args.hashtable) if args.hashtable else HashTable()
+    sd = StreamDecoder(n_channels=channels, hashtable=ht, engine=args.engine)
+    logger = (SpotLogger(args.messagelog, args.jsonl, args.spots,
+                         args.allwspr)
+              if (args.messagelog or args.jsonl or args.spots
+                  or args.allwspr) else None)
+    hop = sd.windows[0].hop
+    info = {"sent": 0}
+    source = (_synthetic_source(args, hop, info) if not external
+              else _stdin_source(args, hop) if args.input == "-"
+              else _file_source(args, hop))
+    t0 = time.time()
+    for block in source:
         for ch, r in sd.push(block):
             for s in r.spots:
-                print(f"ch{ch}: {s.message} ({s.freq:+.2f} Hz)")
+                print(f"ch{ch}: {s.message} ({s.freq:+.2f} Hz)", flush=True)
+                if logger:
+                    logger.log(s)
     dt = time.time() - t0
     st = sd.stats
-    print(f"# {st.windows} windows, {sent} frames sent, {st.spots} spots, "
+    sent = f"{info['sent']} frames sent, " if not external else ""
+    print(f"# {st.windows} windows, {sent}{st.spots} spots, "
           f"{st.windows * 45000 / max(dt, 1e-9):.0f} window-samples/s",
           file=sys.stderr)
+    if logger:
+        logger.close()
+    if args.hashtable:
+        ht.save(args.hashtable)
 
 
 def main(argv=None):
@@ -222,6 +321,8 @@ def main(argv=None):
     d.add_argument("--jsonl", default=None)
     d.add_argument("--spots", default=None,
                    help="append wsprd-style wspr_spots.txt lines here")
+    d.add_argument("--allwspr", default=None,
+                   help="append wsprd-style ALL_WSPR.TXT lines here")
     d.add_argument("--sim-drift", type=float, default=0.0,
                    help="inject synthetic linear drift (Hz/minute) before "
                         "decoding, like the reference c2file_source")
@@ -261,13 +362,31 @@ def main(argv=None):
                    help="wav file mixed in as interference")
     s.set_defaults(fn=_cmd_sweep)
 
-    v = sub.add_parser("serve", help="continuous multichannel demo")
+    v = sub.add_parser("serve", help="continuous receiver (live/synthetic)")
+    v.add_argument("--input", default="synthetic",
+                   help="'synthetic' (default), '-' for raw samples on "
+                        "stdin, or a .c2/.wav capture to follow")
+    v.add_argument("--format", choices=["cf32", "s16"], default="cf32",
+                   help="stdin sample format: cf32 = interleaved float32 "
+                        "I/Q at 375 S/s; s16 = 12 kS/s 16-bit mono audio")
+    v.add_argument("--repeat", action="store_true",
+                   help="loop a file input (reference c2file_source repeat)")
+    v.add_argument("--sim-drift", type=float, default=0.0,
+                   help="inject linear drift into a .c2 input (Hz/min)")
+    v.add_argument("--engine", choices=["auto", "host", "device"],
+                   default="auto")
     v.add_argument("--channels", type=int, default=4)
     v.add_argument("--windows", type=int, default=30,
-                   help="hop-blocks to stream (first window after 14)")
+                   help="hop-blocks to stream (first window after 14); "
+                        "bounds synthetic and --repeat inputs")
     v.add_argument("--snr", type=float, default=-18.0)
     v.add_argument("--duty", type=float, default=0.3,
                    help="per-hop probability of starting a new frame")
+    v.add_argument("--hashtable", default=None)
+    v.add_argument("--messagelog", default=None)
+    v.add_argument("--jsonl", default=None)
+    v.add_argument("--spots", default=None)
+    v.add_argument("--allwspr", default=None)
     v.set_defaults(fn=_cmd_serve)
 
     args = p.parse_args(argv)

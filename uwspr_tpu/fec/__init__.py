@@ -10,9 +10,15 @@ backends with identical (bit-exact) semantics:
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from uwspr_tpu.protocol.constants import FANO_METTAB, N_CODED_BITS
+
+# set after the first failed attempt to build/load the native library so the
+# (possibly slow) compiler invocation isn't retried on every call
+_native_unavailable: str | None = None
 
 
 def fano_decode_batch(symbols: np.ndarray, mettab: np.ndarray = FANO_METTAB,
@@ -36,20 +42,36 @@ def fano_decode_batch(symbols: np.ndarray, mettab: np.ndarray = FANO_METTAB,
                     maxcycles=maxcycles, nbits=nbits)
 
     if backend == "native":
-        from uwspr_tpu.fec.native import fano_decode_batch_native
-        idx = np.flatnonzero(active_np)
-        success = np.zeros(L, dtype=bool)
-        data = np.zeros((L, nbits >> 3), dtype=np.uint8)
-        metric = np.zeros(L, dtype=np.int32)
-        cycles = np.zeros(L, dtype=np.uint32)
-        maxnp = np.zeros(L, dtype=np.uint32)
-        if len(idx):
-            s, d, m, c, n = fano_decode_batch_native(
-                symbols[idx], mettab, delta=delta, maxcycles=maxcycles,
-                nbits=nbits)
-            success[idx], data[idx] = s, d
-            metric[idx], cycles[idx], maxnp[idx] = m, c, n
-        return success, data, metric, cycles, maxnp
+        # graceful degradation: a host without g++ (or a failed build/load)
+        # falls back to the pure-Python reference backend instead of
+        # crashing the default pipeline
+        global _native_unavailable
+        if _native_unavailable is None:
+            try:
+                import subprocess
+
+                from uwspr_tpu.fec.native import fano_decode_batch_native
+                idx = np.flatnonzero(active_np)
+                success = np.zeros(L, dtype=bool)
+                data = np.zeros((L, nbits >> 3), dtype=np.uint8)
+                metric = np.zeros(L, dtype=np.int32)
+                cycles = np.zeros(L, dtype=np.uint32)
+                maxnp = np.zeros(L, dtype=np.uint32)
+                if len(idx):
+                    s, d, m, c, n = fano_decode_batch_native(
+                        symbols[idx], mettab, delta=delta,
+                        maxcycles=maxcycles, nbits=nbits)
+                    success[idx], data[idx] = s, d
+                    metric[idx], cycles[idx], maxnp[idx] = m, c, n
+                return success, data, metric, cycles, maxnp
+            except (ImportError, OSError,
+                    subprocess.CalledProcessError) as e:
+                _native_unavailable = str(e)
+                warnings.warn(
+                    f"native fano backend unavailable ({e}); "
+                    "falling back to the pure-Python backend",
+                    RuntimeWarning, stacklevel=2)
+        backend = "ref"
 
     if backend == "ref":
         from uwspr_tpu.fec.fano_ref import fano_decode

@@ -81,6 +81,43 @@ def downconvert(audio: np.ndarray, cfg: FrontendConfig | None = None
     return Downconverter(cfg)(audio)
 
 
+class StreamingDownconverter:
+    """Block-wise downconversion for live audio sources (stdin, sound
+    card): carries the FIR tail and the mixer phase across pushes, so a
+    continuous stream fed in arbitrary chunks equals the one-shot
+    Downconverter output up to a fixed (num_taps//2)-audio-sample group
+    delay. Host-side numpy — the per-block FLOPs (~3 M MAC/s of audio) are
+    negligible next to the decode itself."""
+
+    def __init__(self, cfg: FrontendConfig | None = None, num_taps: int = 257):
+        self.cfg = cfg or FrontendConfig()
+        fs_out = self.cfg.audio_rate / self.cfg.decimation
+        cutoff = min(100.0, fs_out / 3)
+        self.taps = design_lowpass(num_taps, cutoff, self.cfg.audio_rate
+                                   ).astype(np.float64)
+        self._tail = np.zeros(num_taps - 1, np.float32)
+        self._pos = -(num_taps - 1)       # absolute index of _tail[0]
+        self._rem = np.zeros(0, np.float32)
+
+    def push(self, audio: np.ndarray) -> np.ndarray:
+        """(n,) audio samples -> (m,) complex64 baseband (m = n//decim once
+        buffered remainders even out)."""
+        cfg = self.cfg
+        audio = np.concatenate([self._rem,
+                                np.asarray(audio, dtype=np.float32)])
+        n = (len(audio) // cfg.decimation) * cfg.decimation
+        self._rem = audio[n:]
+        if n == 0:
+            return np.zeros(0, np.complex64)
+        x = np.concatenate([self._tail, audio[:n]])
+        t = self._pos + np.arange(len(x), dtype=np.float64)
+        lo = np.exp(-2j * np.pi * cfg.center_freq / cfg.audio_rate * t)
+        y = np.convolve(x * lo, self.taps, mode="valid")[::cfg.decimation]
+        self._pos += n
+        self._tail = x[n:].copy()
+        return y.astype(np.complex64)
+
+
 def upconvert(baseband: np.ndarray, cfg: FrontendConfig | None = None,
               num_taps: int = 513, amplitude: float = 0.5) -> np.ndarray:
     """375 S/s complex baseband -> real audio at audio_rate centered at cf.
@@ -102,4 +139,5 @@ def upconvert(baseband: np.ndarray, cfg: FrontendConfig | None = None,
     return (amplitude * audio / peak).astype(np.float32)
 
 
-__all__ = ["Downconverter", "downconvert", "upconvert", "design_lowpass"]
+__all__ = ["Downconverter", "StreamingDownconverter", "downconvert",
+           "upconvert", "design_lowpass"]

@@ -57,6 +57,31 @@ def write_c2(path: str | os.PathLike, samples: np.ndarray, name: str = "",
         f.write(iq.tobytes())
 
 
+def c2_stream(path: str | os.PathLike, *, repeat: bool = False,
+              drift_rate: float = 0.0, block: int = 3375):
+    """Stream a .c2 capture as consecutive sample blocks, like the
+    reference's c2file_source work loop (c2file_source_impl.cc:108-138):
+    optional ``repeat`` restarts the file when exhausted, and the simulated
+    linear-drift phase ramp accumulates over the *absolute* stream index
+    (the reference keeps ``drift`` in a static across work() calls)."""
+    z = read_c2(path).samples
+    pos = 0
+    while True:
+        chunk = z[pos % len(z):(pos % len(z)) + block]
+        if len(chunk) < block and repeat:
+            chunk = np.concatenate([chunk, z[:block - len(chunk)]])
+        if len(chunk) == 0:
+            return
+        if drift_rate:
+            n = pos + np.arange(len(chunk), dtype=np.float64)
+            phase = np.pi * n * n * drift_rate / (375.0 * 375.0)
+            chunk = (chunk * np.exp(1j * phase)).astype(np.complex64)
+        yield chunk
+        pos += len(chunk)
+        if not repeat and pos >= len(z):
+            return
+
+
 def apply_sim_drift(samples: np.ndarray, drift_rate: float) -> np.ndarray:
     """Synthetic linear-drift phase ramp, matching c2file_source's injector.
 
@@ -69,4 +94,5 @@ def apply_sim_drift(samples: np.ndarray, drift_rate: float) -> np.ndarray:
     return (np.asarray(samples) * np.exp(1j * phase)).astype(np.complex64)
 
 
-__all__ = ["C2File", "C2_SAMPLES", "read_c2", "write_c2", "apply_sim_drift"]
+__all__ = ["C2File", "C2_SAMPLES", "read_c2", "write_c2", "c2_stream",
+           "apply_sim_drift"]

@@ -118,7 +118,9 @@ class WindowDecoder:
             result.spots.append(Spot(
                 message=text,
                 payload=payload,
-                freq=float(cands.freq[c]),
+                freq=float(ref.freq[c]),   # refined, = reference's freq1
+                                           # (sync_and_demodulate logs the
+                                           # post-refinement frequency)
                 snr=float(cands.snr[c]),
                 sync=float(sync2[c, j]),
                 shift=int(ref.shift[c]),

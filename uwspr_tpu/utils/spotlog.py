@@ -20,15 +20,22 @@ from uwspr_tpu.pipeline.decoder import Spot
 class SpotLogger:
     def __init__(self, text_path: str | None = "messagelog.txt",
                  jsonl_path: str | None = None,
-                 spots_path: str | None = None):
+                 spots_path: str | None = None,
+                 allwspr_path: str | None = None,
+                 dial_freq_mhz: float = 0.0):
         self.start = time.time()
         self.framecount = 0
+        self.dial_freq_mhz = dial_freq_mhz
         self._text = open(text_path, "a") if text_path else None
         self._jsonl = open(jsonl_path, "a") if jsonl_path else None
         # wsprd "wspr_spots.txt" format (the file the reference's unpacker
         # opens, WSPR_unpacker_impl.cc:58-67):
         #   YYMMDD HHMM snr dt freq drift message
         self._spots = open(spots_path, "a") if spots_path else None
+        # wsprd "ALL_WSPR.TXT" append-only archive (the other file the
+        # reference's unpacker opens at the same site): one line per decode
+        # with sync quality, metric diagnostics and the RF frequency
+        self._allwspr = open(allwspr_path, "a") if allwspr_path else None
         if self._text:
             self._text.write(
                 f"Start time: {time.asctime(time.localtime(self.start))}\n\n")
@@ -70,9 +77,21 @@ class SpotLogger:
                 f"{spot.shift / 375.0:5.2f} {spot.freq:10.6f} "
                 f"{spot.drift:2.0f}  {spot.message}\n")
             self._spots.flush()
+        if self._allwspr:
+            # wsprd ALL_WSPR.TXT line: date time sync*10 snr dt freq(MHz)
+            # message drift cycles/81 jiggle
+            t = time.gmtime()
+            rf_mhz = self.dial_freq_mhz + (1500.0 + spot.freq) / 1e6
+            self._allwspr.write(
+                f"{time.strftime('%y%m%d %H%M', t)} "
+                f"{int(10 * spot.sync):3d} {spot.snr:3.0f} "
+                f"{spot.shift / 375.0 - 2.0:5.2f} {rf_mhz:11.7f}  "
+                f"{spot.message:<22s} {spot.drift:2.0f} "
+                f"{spot.fano_cycles // 81:5d} {spot.jiggle:4d}\n")
+            self._allwspr.flush()
 
     def close(self) -> None:
-        for f in (self._text, self._jsonl, self._spots):
+        for f in (self._text, self._jsonl, self._spots, self._allwspr):
             if f:
                 f.close()
 

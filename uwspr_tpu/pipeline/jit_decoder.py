@@ -59,6 +59,8 @@ class DeviceDecoderOutput:
     slm_params: np.ndarray    # (C, 4) V1,V2,p1,p2 (nonlinear candidates)
     jiggle: np.ndarray
     valid: np.ndarray
+    fano_overflow: np.ndarray  # scalar: gated lanes dropped past
+                               # fano_max_lanes (graceful-degradation count)
 
     def window(self, w: int) -> "DeviceDecoderOutput":
         """Select one window from a batched (leading axis W) output."""
@@ -270,6 +272,10 @@ class DeviceDecoder:
         deint = symbols.reshape(C * J, 162)[:, self._perm]
         gate_flat = gate.reshape(C * J)
         ML = min(dcfg.fano_max_lanes, C * J)
+        n_gated = gate_flat.sum()
+        # observable degradation counter: gated lanes beyond the compacted
+        # batch silently report failure — surface how many were dropped
+        fano_overflow = jnp.maximum(n_gated - ML, 0).astype(jnp.int32)
         sel = jnp.argsort(~gate_flat, stable=True)[:ML]
         out = fano_decode_batch_jax(deint[sel].astype(jnp.int32),
                                     self._mettab, gate_flat[sel],
@@ -299,6 +305,7 @@ class DeviceDecoder:
             "slm_params": slm_params,
             "jiggle": jbest.astype(jnp.int32),
             "valid": valid,
+            "fano_overflow": fano_overflow,
         }
 
     def __call__(self, z: np.ndarray) -> DeviceDecoderOutput:

@@ -71,13 +71,13 @@ def main():
     def run():
         """One lax.map program decodes all windows window-by-window on
         device (vmapped batching measured slower: the batched probe grid
-        is HBM-bound and the lockstep Fano waits on the slowest window),
-        with a single h2d/d2h transfer set. The np.asarray d2h forces
-        completion — block_until_ready is not reliable on all remote TPU
-        runtimes."""
+        is HBM-bound and the lockstep Fano waits on the slowest window).
+        The result is ONE packed (W, C, 21) f32 array — a single d2h RPC
+        (each fetched array costs ~30 ms on the tunneled runtime). The
+        np.asarray d2h forces completion — block_until_ready is not
+        reliable on all remote TPU runtimes."""
         out = decoder.decode_windows_ri(ri_j)
-        host = {k: np.asarray(v) for k, v in out.items()}
-        return [{k: host[k][w] for k in host} for w in range(N_WINDOWS)]
+        return decoder.unpack_output(np.asarray(out))
 
     # warmup / compile
     t0 = time.time()
@@ -94,8 +94,8 @@ def main():
     # correctness check
     ok = 0
     for w in range(N_WINDOWS):
-        succ = out[w]["success"]
-        payloads = out[w]["payload"]
+        succ = out.success[w]
+        payloads = out.payload[w]
         msgs = []
         for c in np.flatnonzero(succ):
             u = unpack_message(bytes(payloads[c]))

@@ -85,6 +85,41 @@ def test_peak_cap_and_order(searcher):
     assert np.all(np.diff(s) <= 1e-6)  # sorted descending
 
 
+def test_select_best_event_skip_matches_scan():
+    """The production event-skipping select_best must be bit-identical to
+    the literal sequential fold on every case, including the reference's
+    division quirk for negative running maxima and NaN scores."""
+    from uwspr_tpu.coarse.search import select_best, select_best_scan
+
+    rng = np.random.default_rng(7)
+    M = 9
+    is_nl = jnp.asarray(np.array([False, True, True, False, True,
+                                  True, True, False, True]))
+    cases = []
+    # generic random grids
+    for _ in range(4):
+        cases.append(rng.normal(size=(5, 5, 26, M)).astype(np.float32))
+    # all-negative grid: only the negative-best nonlinear branch can fire
+    cases.append((-np.abs(rng.normal(size=(3, 5, 26, M))) - 0.01
+                  ).astype(np.float32))
+    # chain of escalating nonlinear acceptances
+    esc = np.full((1, 5, 26, M), 0.01, np.float32)
+    esc[0, 0, 0, 0] = 0.02          # linear seed
+    esc[0, 0, 1, 1] = 0.5           # nl: ratio 25 > 10
+    esc[0, 0, 2, 2] = 8.0           # nl: ratio 16 > 10
+    esc[0, 1, 0, 4] = 10.0          # nl: ratio 1.25 -> rejected
+    cases.append(esc)
+    # NaNs are never accepted
+    nan_case = rng.normal(size=(2, 5, 26, M)).astype(np.float32)
+    nan_case[0, 2, 3, :] = np.nan
+    cases.append(nan_case)
+    for sync in cases:
+        b1, i1 = select_best(jnp.asarray(sync), is_nl, threshold=10.0)
+        b2, i2 = select_best_scan(jnp.asarray(sync), is_nl, threshold=10.0)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
 def test_golden_c2_candidate(searcher, reference_examples):
     from uwspr_tpu.io.c2file import read_c2
     c2 = read_c2(reference_examples / "VE3EMB.c2")

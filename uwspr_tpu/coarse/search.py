@@ -107,6 +107,18 @@ def build_drift_models(cfg: CoarseConfig) -> DriftModelBank:
     return bank
 
 
+def max_peaks(cfg: CoarseConfig) -> int:
+    """Structural cap on the candidate-lane count.
+
+    Peaks are strict local maxima over the finpb-2 interior passband bins
+    (lib/FDR_impl.cc:293-319); no two can be adjacent, so at most
+    (finpb-1)//2 exist. For the narrowband example config (hpbm=14 ->
+    finpb=28) that is 13 — padding every per-candidate stage to the
+    wideband maxfreqs=200 default would be 15x wasted work with identical
+    semantics."""
+    return min(cfg.maxfreqs, (2 * cfg.hpbm - 1) // 2)
+
+
 @dataclass
 class Candidates:
     """Padded candidate batch (fixed maxfreqs lanes + validity mask)."""
@@ -235,13 +247,12 @@ SELECT_UNROLL = 16
 
 
 @functools.partial(jax.jit, static_argnames=("threshold",))
-def select_best(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
-                *, threshold: float) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Reproduce the reference's order-dependent best-model selection.
-
-    sync: (C, 5, W, M) scores in evaluation order (freq, lag, model).
-    Returns (best_sync (C,), best_flat_index (C,)).
-    """
+def select_best_scan(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
+                     *, threshold: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Literal sequential fold over the (freq, lag, model) grid — the
+    direct transcription of the reference's selection loop. Kept as the
+    oracle for select_best; the event-skipping version below is the
+    production path."""
     C = sync.shape[0]
     flat = sync.reshape(C, -1).T                           # (steps, C)
     n_steps = flat.shape[0]
@@ -265,6 +276,57 @@ def select_best(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
     # for a shorter serial chain on device
     (best, best_idx, _), _ = jax.lax.scan(body, init, (flat, step_is_nl),
                                           unroll=SELECT_UNROLL)
+    return best, best_idx
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def select_best(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
+                *, threshold: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reproduce the reference's order-dependent best-model selection
+    (FDR_impl.cc:344-405) by event skipping instead of a serial fold.
+
+    Between update events the running best is constant, so the next event
+    is exactly the first step t >= t_cur whose accept predicate passes
+    against the CURRENT best (linear: v > best; nonlinear: v/best >
+    threshold, float division kept verbatim — including its behavior for
+    negative running maxima). Each while_loop round finds that step for
+    every candidate at once with a vectorized mask + argmax; rounds =
+    number of update events (~O(log steps) for real spectra) instead of a
+    16k-step serial scan.
+
+    sync: (C, 5, W, M) scores in evaluation order (freq, lag, model).
+    Returns (best_sync (C,), best_flat_index (C,)).
+    """
+    C = sync.shape[0]
+    flat = sync.reshape(C, -1)                             # (C, steps)
+    n_steps = flat.shape[1]
+    Mdim = sync.shape[3]
+    step_is_nl = jnp.tile(is_nonlinear, n_steps // Mdim)[None, :]
+    t_idx = jnp.arange(n_steps, dtype=jnp.int32)[None, :]
+
+    def next_event(best, t_cur):
+        ratio = flat / best[:, None]
+        accept = jnp.where(step_is_nl, ratio > threshold,
+                           flat > best[:, None])
+        mask = accept & (t_idx >= t_cur[:, None])
+        e = jnp.argmax(mask, axis=1).astype(jnp.int32)     # first True
+        return jnp.any(mask, axis=1), e
+
+    def cond(state):
+        best, best_idx, t_cur, active = state
+        return jnp.any(active)
+
+    def body(state):
+        best, best_idx, t_cur, _ = state
+        has, e = next_event(best, t_cur)
+        best = jnp.where(has, flat[jnp.arange(C), e], best)
+        best_idx = jnp.where(has, e, best_idx)
+        t_cur = jnp.where(has, e + 1, t_cur)
+        return best, best_idx, t_cur, has
+
+    init = (jnp.full(C, -1e30, jnp.float32), jnp.zeros(C, jnp.int32),
+            jnp.zeros(C, jnp.int32), jnp.ones(C, bool))
+    best, best_idx, _, _ = jax.lax.while_loop(cond, body, init)
     return best, best_idx
 
 

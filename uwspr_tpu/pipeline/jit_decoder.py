@@ -25,6 +25,7 @@ import numpy as np
 from uwspr_tpu.coarse.search import (
     build_drift_models,
     coarse_score_grid,
+    max_peaks,
     select_best,
     smoothed_snr_spectrum,
 )
@@ -73,9 +74,20 @@ class DeviceDecoderOutput:
 class DeviceDecoder:
     """Configuration-baked jittable decoder."""
 
-    def __init__(self, config: PipelineConfig | None = None):
+    def __init__(self, config: PipelineConfig | None = None,
+                 truncate_stage: str | None = None):
+        # truncate_stage ("post_refine" | "pre_fano" | "post_fano"): build a
+        # program that stops after that stage and returns a reduction —
+        # profiling aid for per-stage cost attribution on the real chip
+        # (standalone microbenchmarks are useless over the tunnel).
+        self.truncate_stage = truncate_stage
         self.config = config or PipelineConfig()
         cfg = self.config.coarse
+        # Candidate-lane count: min(maxfreqs, structural peak bound). For
+        # the narrowband default (hpbm=14 -> at most 13 strict local maxima
+        # in the passband) this shrinks every per-candidate stage ~15x vs
+        # padding to maxfreqs=200, with identical semantics.
+        self.n_cand = max_peaks(cfg)
         models = build_drift_models(cfg)
         # constants are kept as HOST numpy arrays: jit embeds them directly
         # into the program; closing over committed *device* arrays would
@@ -94,21 +106,73 @@ class DeviceDecoder:
         ii = (idt + 1) // 2
         ii = np.where(idt % 2 == 1, -ii, ii) * dcfg.iifac
         self._jiggles = ii.astype(np.int32)
-        self.decode_window_ri = jax.jit(self._decode_window_ri)
+        # The jitted entry points return ONE packed (C, 21) f32 array, not
+        # the field dict: on remote TPU runtimes every fetched array is its
+        # own ~30 ms d2h RPC, so 11 result arrays cost more than the whole
+        # decode. unpack_output() recovers the typed fields on the host.
+        self.decode_window_ri = jax.jit(
+            lambda ri: self._pack(self._decode_window_ri(ri)))
         # batched windows: one XLA program decodes (W, 2, fl) window by
         # window (lax.map).  Measured faster than a vmapped batch on one
         # chip — the vmapped probe grid is HBM-bound and the lockstep Fano
         # waits on the slowest window — and compatible with the Pallas
         # probe kernel, which has no vmap batching rule.
         self.decode_windows_ri = jax.jit(
-            lambda ris: jax.lax.map(self._decode_window_ri, ris))
+            lambda ris: jax.lax.map(
+                lambda ri: self._pack(self._decode_window_ri(ri)), ris))
+
+    # -- output packing: one d2h array instead of eleven --------------------
+    # column layout (all exactly representable in f32):
+    #   0 success  1 valid  2 freq  3 snr  4 sync  5 shift  6 drift
+    #   7 mode  8 jiggle  9:13 slm_params  13:20 payload  20 fano_overflow
+
+    @staticmethod
+    def _pack(out: dict) -> jnp.ndarray:
+        if "_t" in out:                     # truncated profiling program
+            return out["_t"]
+        head = jnp.stack([
+            out["success"].astype(jnp.float32),
+            out["valid"].astype(jnp.float32),
+            out["freq"].astype(jnp.float32),
+            out["snr"].astype(jnp.float32),
+            out["sync"].astype(jnp.float32),
+            out["shift"].astype(jnp.float32),
+            out["drift"].astype(jnp.float32),
+            out["mode"].astype(jnp.float32),
+            out["jiggle"].astype(jnp.float32),
+        ], axis=-1)                                             # (C, 9)
+        overflow = jnp.broadcast_to(
+            out["fano_overflow"].astype(jnp.float32)[None, None],
+            (head.shape[0], 1))
+        return jnp.concatenate(
+            [head, out["slm_params"].astype(jnp.float32),
+             out["payload"].astype(jnp.float32), overflow], axis=-1)
+
+    @staticmethod
+    def unpack_output(a: np.ndarray) -> DeviceDecoderOutput:
+        """Packed (..., C, 21) f32 -> typed DeviceDecoderOutput."""
+        a = np.asarray(a)
+        return DeviceDecoderOutput(
+            success=a[..., 0] > 0.5,
+            valid=a[..., 1] > 0.5,
+            freq=a[..., 2].astype(np.float32),
+            snr=a[..., 3].astype(np.float32),
+            sync=a[..., 4].astype(np.float32),
+            shift=a[..., 5].astype(np.int32),
+            drift=a[..., 6].astype(np.float32),
+            mode=a[..., 7].astype(np.int32),
+            jiggle=a[..., 8].astype(np.int32),
+            slm_params=a[..., 9:13].astype(np.float32),
+            payload=a[..., 13:20].astype(np.uint8),
+            fano_overflow=a[..., 0, 20].astype(np.int32),
+        )
 
     # -- coarse: device peak pick -----------------------------------------
 
     def _peaks(self, sm: jnp.ndarray):
         cfg = self.config.coarse
         finpb = 2 * cfg.hpbm
-        C = cfg.maxfreqs
+        C = self.n_cand
         m = cfg.fft_size // 2
         j = jnp.arange(finpb)
         left = jnp.roll(sm, 1)
@@ -159,7 +223,7 @@ class DeviceDecoder:
         cfg = self.config.coarse
         dcfg = self.config.demod
         z = z.astype(jnp.complex64)
-        C = cfg.maxfreqs
+        C = self.n_cand
         cidx = jnp.arange(C)
 
         # ---- coarse search ----
@@ -239,6 +303,9 @@ class DeviceDecoder:
         f1 = jnp.where(worth, freq_grid[cidx, fi2], f1).astype(jnp.float32)
         sync1 = jnp.where(worth, s[cidx, fi2, 0], sync1)
         worth = worth & valid
+        if self.truncate_stage == "post_refine":
+            return {"_t": sync1.sum() + f1.sum() + shift1.sum()
+                    + drift1.sum()}
 
         # ---- soft symbols over all jiggles ----
         J = dcfg.n_jiggles
@@ -261,6 +328,9 @@ class DeviceDecoder:
 
         gate = (worth[:, None] & (sync2 > dcfg.minsync2)
                 & (rms > dcfg.minrms))                        # (C, J)
+        if self.truncate_stage == "pre_fano":
+            return {"_t": gate.sum() + symbols.astype(jnp.int32).sum()
+                    + rms.sum()}
 
         # ---- batched Fano over gated lanes ----
         # Compact gated lanes to a fixed-width batch first: the lockstep
@@ -281,6 +351,9 @@ class DeviceDecoder:
                                     self._mettab, gate_flat[sel],
                                     maxcycles=dcfg.maxcycles,
                                     delta=dcfg.fano_delta)
+        if self.truncate_stage == "post_fano":
+            return {"_t": out["success"].sum()
+                    + out["data"].astype(jnp.int32).sum()}
         success_flat = jnp.zeros(C * J, bool).at[sel].set(
             out["success"] & gate_flat[sel])
         data_flat = jnp.zeros((C * J, out["data"].shape[1]), jnp.uint8
@@ -311,14 +384,14 @@ class DeviceDecoder:
     def __call__(self, z: np.ndarray) -> DeviceDecoderOutput:
         from uwspr_tpu.demod.finesync import complex_to_ri
         out = self.decode_window_ri(jnp.asarray(complex_to_ri(z)))
-        return DeviceDecoderOutput(**{k: np.asarray(v) for k, v in out.items()})
+        return self.unpack_output(out)
 
     def decode_batch(self, zs: np.ndarray) -> DeviceDecoderOutput:
         """(W, fl) complex windows -> batched output (leading axis W)."""
         from uwspr_tpu.demod.finesync import complex_to_ri
         ri = np.stack([complex_to_ri(z) for z in np.asarray(zs)])
         out = self.decode_windows_ri(jnp.asarray(ri))
-        return DeviceDecoderOutput(**{k: np.asarray(v) for k, v in out.items()})
+        return self.unpack_output(out)
 
     def messages(self, out: DeviceDecoderOutput, hashtable=None) -> list[str]:
         from uwspr_tpu.protocol.messages import unpack_message

@@ -332,48 +332,92 @@ class DeviceDecoder:
             return {"_t": gate.sum() + symbols.astype(jnp.int32).sum()
                     + rms.sum()}
 
-        # ---- batched Fano over gated lanes ----
-        # Compact gated lanes to a fixed-width batch first: the lockstep
-        # while_loop drags its whole struct-of-arrays state through every
-        # iteration, and only a few of the 200x17 lanes ever pass the
-        # sync/rms gates. argsort(~gate) is stable, so compaction keeps
-        # (candidate, jiggle) order and the first-success selection below
-        # is unchanged. Overflow beyond fano_max_lanes reports failure.
-        deint = symbols.reshape(C * J, 162)[:, self._perm]
-        gate_flat = gate.reshape(C * J)
-        ML = min(dcfg.fano_max_lanes, C * J)
-        n_gated = gate_flat.sum()
-        # observable degradation counter: gated lanes beyond the compacted
-        # batch silently report failure — surface how many were dropped
-        fano_overflow = jnp.maximum(n_gated - ML, 0).astype(jnp.int32)
-        sel = jnp.argsort(~gate_flat, stable=True)[:ML]
-        out = fano_decode_batch_jax(deint[sel].astype(jnp.int32),
-                                    self._mettab, gate_flat[sel],
-                                    maxcycles=dcfg.maxcycles,
-                                    delta=dcfg.fano_delta)
+        # ---- batched Fano over gated lanes, two phases ----
+        # The reference tries jiggled shifts sequentially and stops at the
+        # first success (lib/sync_and_demodulate_impl.cc:457-482); almost
+        # always jiggle 0 (the refined shift) decodes. A single lockstep
+        # batch over all C*J lanes runs as slow as its SLOWEST lane — and
+        # the off-by-up-to-64-sample jiggle lanes backtrack far more than
+        # the aligned one. So: phase 1 decodes only the jiggle-0 lanes;
+        # phase 2 decodes jiggles 1.. solely for candidates phase 1 did
+        # not decode (usually none — the while_loop exits immediately).
+        # First-success-in-jiggle-order output is preserved exactly.
+        deint = symbols.reshape(C * J, 162)[:, self._perm].astype(jnp.int32)
+        deint = deint.reshape(C, J, 162)
+
+        ML1 = min(dcfg.fano_max_lanes, C)
+        gate0 = gate[:, 0]
+        sel1 = jnp.argsort(~gate0, stable=True)[:ML1]
+        out1 = fano_decode_batch_jax(deint[sel1, 0], self._mettab,
+                                     gate0[sel1],
+                                     maxcycles=dcfg.maxcycles,
+                                     delta=dcfg.fano_delta)
+        succ0 = jnp.zeros(C, bool).at[sel1].set(out1["success"] & gate0[sel1])
+        nbytes = out1["data"].shape[1]
+        data0 = jnp.zeros((C, nbytes), jnp.uint8).at[sel1].set(out1["data"])
+
+        if J == 1:
+            if self.truncate_stage == "post_fano":
+                return {"_t": out1["success"].sum()
+                        + out1["data"].astype(jnp.int32).sum()}
+            success = succ0[:, None]
+            data = data0[:, None]
+            fano_overflow = jnp.maximum(gate0.sum() - ML1, 0
+                                        ).astype(jnp.int32)
+            any_success = succ0
+            jbest = jnp.zeros(C, jnp.int32)
+            payload = data0[:, :7]
+            return self._outputs(any_success & worth, payload, f1, snr,
+                                 sync2[cidx, jbest], shift1, drift1, mode,
+                                 slm_params, jbest, valid, fano_overflow)
+
+        # phase 2: remaining jiggles, masked off where phase 1 succeeded
+        R = C * (J - 1)
+        ML2 = min(dcfg.fano_max_lanes, R)
+        gate_rest = (gate[:, 1:] & ~succ0[:, None]).reshape(R)
+        sel2 = jnp.argsort(~gate_rest, stable=True)[:ML2]
+        out2 = fano_decode_batch_jax(
+            deint[:, 1:].reshape(R, 162)[sel2], self._mettab,
+            gate_rest[sel2], maxcycles=dcfg.maxcycles,
+            delta=dcfg.fano_delta)
         if self.truncate_stage == "post_fano":
-            return {"_t": out["success"].sum()
-                    + out["data"].astype(jnp.int32).sum()}
-        success_flat = jnp.zeros(C * J, bool).at[sel].set(
-            out["success"] & gate_flat[sel])
-        data_flat = jnp.zeros((C * J, out["data"].shape[1]), jnp.uint8
-                              ).at[sel].set(out["data"])
-        success = success_flat.reshape(C, J)
-        data = data_flat.reshape(C, J, -1)
+            return {"_t": out1["success"].sum() + out2["success"].sum()
+                    + out1["data"].astype(jnp.int32).sum()
+                    + out2["data"].astype(jnp.int32).sum()}
+        succ_rest = jnp.zeros(R, bool).at[sel2].set(
+            out2["success"] & gate_rest[sel2])
+        data_rest = jnp.zeros((R, nbytes), jnp.uint8).at[sel2].set(
+            out2["data"])
+        success = jnp.concatenate(
+            [succ0[:, None], succ_rest.reshape(C, J - 1)], axis=1)
+        data = jnp.concatenate(
+            [data0[:, None], data_rest.reshape(C, J - 1, nbytes)], axis=1)
+
+        # observable degradation counter: gated lanes beyond the compacted
+        # batches silently report failure — surface how many were dropped
+        fano_overflow = (
+            jnp.maximum(gate0.sum() - ML1, 0)
+            + jnp.maximum(gate_rest.sum() - ML2, 0)).astype(jnp.int32)
 
         # first success in jiggle order
         any_success = jnp.any(success, axis=1)
         jbest = jnp.argmax(success, axis=1)                   # first True
         payload = data[cidx, jbest, :7]
+        return self._outputs(any_success & worth, payload, f1, snr,
+                             sync2[cidx, jbest], shift1, drift1, mode,
+                             slm_params, jbest, valid, fano_overflow)
 
+    @staticmethod
+    def _outputs(success, payload, freq, snr, sync, shift, drift, mode,
+                 slm_params, jbest, valid, fano_overflow) -> dict:
         return {
-            "success": any_success & worth,
+            "success": success,
             "payload": payload,
-            "freq": f1,
+            "freq": freq,
             "snr": snr,
-            "sync": sync2[cidx, jbest],
-            "shift": shift1,
-            "drift": drift1,
+            "sync": sync,
+            "shift": shift,
+            "drift": drift,
             "mode": mode,
             "slm_params": slm_params,
             "jiggle": jbest.astype(jnp.int32),

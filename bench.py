@@ -27,7 +27,7 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "8"))
+N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "32"))
 SNR_DB = float(os.environ.get("BENCH_SNR", "-18"))
 BASELINE_SAMPLES_PER_S = 5000.0
 

@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Weak-scaling measurement of the sharded decoder on a virtual CPU mesh.
+
+BASELINE.md's scaling target is >=80% efficiency in channels*samples/s
+from 1 chip to a multi-host slice. Real multi-chip hardware is not
+available in this environment (one tunneled v5e), so this harness runs
+the REAL sharded programs — shard_map over a ("channel","time") mesh with
+the chained-ppermute halo exchange — on N virtual CPU devices.
+
+Two measurements:
+
+1. channel-axis weak scaling (the production scale-out axis): mesh (N,1),
+   one channel per device, each channel carrying its own noise and one
+   decodable -18 dB frame — identical, independent per-shard work. This
+   is the honest weak-scaling curve; spots must equal N.
+2. time-axis collective overhead: mesh (1,N) over an equal-work
+   noise-only stream (a decodable workload cannot be made equal-work per
+   time shard: window starts are hop-spaced, so any full frame lies in
+   ~13 consecutive windows and stacking one frame per shard creates
+   co-channel interference). Decode correctness across time-shard
+   boundaries is proven separately by tests/test_mesh_stream.py; here we
+   only price the chained ppermute + psum against the (N,1) equivalent.
+
+Each config runs in its own subprocess with exactly N virtual devices:
+XLA CPU collectives have a hard 40 s rendezvous termination timeout, and
+skewed per-device programs on this host's 4 physical cores trip it.
+The Fano budget is bounded (maxcycles=512) so an unlucky gated noise
+lane cannot dominate a shard; the -18 dB frames decode well within it.
+
+IMPORTANT CAVEAT (recorded in the output): the virtual devices all share
+this host's 4 physical cores, so for n_devices > 1 the measured curve is
+dominated by core oversubscription, not by the collective cost that would
+govern a real TPU slice. The honest use of these numbers is (a) the
+communication fraction — time spent in the halo exchange vs decode — and
+(b) a lower bound on real scaling. On real ICI the halo per step is
+(fl-hop)*8 bytes/channel = 333 KB, ~7 us at 45 GB/s bidirectional — four
+orders of magnitude below the per-window decode time, so the expected
+hardware efficiency is ~100% on the time axis and exactly 100% on the
+embarrassingly parallel channel axis.
+
+Writes SCALING_r02.json at the repo root and prints a markdown table.
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def run_one(axis: str, n: int, reps: int) -> dict:
+    """Measure one mesh config. Runs inside a subprocess whose XLA_FLAGS
+    request exactly n virtual devices."""
+    sys.path.insert(0, str(REPO))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from uwspr_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from uwspr_tpu.config import DemodConfig, PipelineConfig
+    from uwspr_tpu.io.channel import awgn
+    from uwspr_tpu.parallel.mesh import ShardedDecoder, make_mesh
+    from uwspr_tpu.protocol.modulate import synthesize_frame
+
+    cfg = PipelineConfig(demod=DemodConfig(
+        maxcycles=int(os.environ.get("SCALING_MAXCYCLES", "512"))))
+    n_ch, n_time = (n, 1) if axis == "channel" else (1, n)
+    dec = ShardedDecoder(cfg, make_mesh(n_ch, n_time))
+    hop, halo, fl = dec.hop, dec.halo, dec.fl
+    block_len = hop                      # one window per time shard
+    total = n_time * block_len
+
+    rng = np.random.default_rng(0)
+    x = np.stack([awgn(np.zeros(total + halo, dtype=np.complex64),
+                       -18.0, rng=rng) for _ in range(n_ch)])
+    frames = 0
+    if axis == "channel":
+        for c in range(n_ch):
+            start = int(rng.integers(0, 500))
+            z = np.asarray(synthesize_frame(
+                "VE3EMB", "FN25", 30, start_sample=0,
+                freq_offset=float(rng.uniform(-3, 3))))[:fl]
+            m = min(len(z), total + halo - start)
+            x[c, start:start + m] += z[:m]
+            frames += 1
+    stream, tail = x[:, :total], x[:, total:]
+
+    t0 = time.time()
+    out, n_spots = dec.decode(stream, tail)
+    n_spots = int(np.asarray(n_spots))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        out, n_spots_j = dec.decode(stream, tail)
+        n_spots = int(np.asarray(n_spots_j))   # force completion (d2h)
+    dt = (time.time() - t0) / reps
+    thr = n * 45000.0 / dt                     # window-samples/s, mesh-wide
+    return {
+        "axis": axis, "devices": n,
+        "mesh": {"channel": n_ch, "time": n_time},
+        "windows_per_step": n, "frames_embedded": frames,
+        "spots": n_spots, "step_s": round(dt, 3),
+        "throughput_window_samples_per_s": round(thr, 1),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--one", nargs=2, metavar=("AXIS", "N"), default=None,
+                    help="internal: measure this config and print JSON")
+    ap.add_argument("--reps", type=int,
+                    default=int(os.environ.get("SCALING_REPS", "3")))
+    args = ap.parse_args()
+
+    if args.one is not None:
+        print(json.dumps(run_one(args.one[0], int(args.one[1]), args.reps)))
+        return
+
+    results = []
+    configs = [("channel", 1), ("channel", 2), ("channel", 4),
+               ("channel", 8), ("time", 2), ("time", 4), ("time", 8)]
+    for axis, n in configs:
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{n}").strip()
+        p = subprocess.run(
+            [sys.executable, __file__, "--one", axis, str(n),
+             "--reps", str(args.reps)],
+            capture_output=True, text=True, env=env, timeout=2400)
+        if p.returncode != 0:
+            print(f"{axis} n={n} FAILED:\n{p.stderr[-1500:]}",
+                  file=sys.stderr)
+            continue
+        r = json.loads(p.stdout.strip().splitlines()[-1])
+        results.append(r)
+        print(f"{axis} n={n}: {r['step_s']} s/step, "
+              f"{r['throughput_window_samples_per_s']:,.0f} samples/s, "
+              f"spots={r['spots']}", file=sys.stderr)
+
+    base = next(r["throughput_window_samples_per_s"] for r in results
+                if r["axis"] == "channel" and r["devices"] == 1)
+    for r in results:
+        r["efficiency_vs_1dev"] = round(
+            r["throughput_window_samples_per_s"] / (base * r["devices"]), 3)
+
+    halo_bytes = (45000 - 3375) * 8
+    doc = {
+        "harness": "scripts/weak_scaling.py",
+        "platform": "cpu-virtual (4 physical cores shared by all devices)",
+        "caveat": ("virtual devices share 4 physical cores; n>1 rows "
+                   "measure oversubscription, not ICI cost. Real-ICI halo "
+                   "per step is {} bytes/channel (~7 us at 45 GB/s) vs "
+                   "~8 ms/window decode on v5e -> expected hardware "
+                   "efficiency ~100% on both axes.").format(halo_bytes),
+        "halo_bytes_per_channel_per_step": halo_bytes,
+        "results": results,
+    }
+    (REPO / "SCALING_r02.json").write_text(json.dumps(doc, indent=1) + "\n")
+    print(f"wrote {REPO / 'SCALING_r02.json'}", file=sys.stderr)
+
+    print("| axis | devices | s/step | window-samples/s | spots | "
+          "efficiency vs 1 dev |")
+    print("|---|---|---|---|---|---|")
+    for r in results:
+        print(f"| {r['axis']} | {r['devices']} | {r['step_s']} | "
+              f"{r['throughput_window_samples_per_s']:,.0f} | "
+              f"{r['spots']} | {r['efficiency_vs_1dev']:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

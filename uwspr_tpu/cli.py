@@ -158,10 +158,25 @@ def _cmd_sweep(args):
         print(f"\rSNR {snr:+6.1f} dB: trial {t + 1}, {ok} ok", end="",
               file=sys.stderr)
 
+    import jax
+    engine = args.engine
+    if engine == "auto":
+        engine = "device" if jax.default_backend() == "tpu" else "host"
     r = snr_sweep(snrs, trials=args.trials, interference=interference,
-                  progress=progress)
+                  progress=progress, seed=args.seed, engine=engine)
     print("", file=sys.stderr)
-    print(json.dumps({"trials": r.trials, "decode_rate": r.as_dict()}))
+    doc = {"trials": r.trials, "seed": args.seed, "engine": engine,
+           "backend": jax.default_backend(),
+           "callsign": "VE3EMB", "grid": "FN25", "power": 30,
+           "snr_convention": "2500 Hz reference bandwidth",
+           "randomized": "freq offset +/-5 Hz, start 0..2 s per trial",
+           "decode_rate": r.as_dict()}
+    line = json.dumps(doc)
+    print(line)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(json.dumps(doc, indent=1) + "\n")
+        print(f"wrote {args.output}", file=sys.stderr)
 
 
 def _synthetic_source(args, hop, info):
@@ -360,6 +375,13 @@ def main(argv=None):
     s.add_argument("--trials", type=int, default=20)
     s.add_argument("--whales", default=None,
                    help="wav file mixed in as interference")
+    s.add_argument("--engine", choices=["auto", "host", "device"],
+                   default="auto",
+                   help="host = per-trial WindowDecoder; device = each "
+                        "SNR point's trials batched in one TPU program")
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("-o", "--output", default=None,
+                   help="also write the result JSON to this file")
     s.set_defaults(fn=_cmd_sweep)
 
     v = sub.add_parser("serve", help="continuous receiver (live/synthetic)")

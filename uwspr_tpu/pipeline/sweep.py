@@ -33,30 +33,69 @@ def snr_sweep(snrs_db, trials: int = 20, *, callsign: str = "VE3EMB",
               grid: str = "FN25", power: int = 30,
               config: PipelineConfig | None = None, seed: int = 0,
               interference: np.ndarray | None = None,
-              progress=None) -> SweepResult:
+              progress=None, engine: str = "host") -> SweepResult:
     """Decode-rate curve over SNR. Randomizes frequency offset (+/-5 Hz)
     and frame start (0..2 s) per trial; optional additive interference
-    (e.g. the whale-song capture) mixed at unit gain."""
-    decoder = WindowDecoder(config)
+    (e.g. the whale-song capture) mixed at unit gain.
+
+    engine="host" runs the host-orchestrated WindowDecoder per trial;
+    engine="device" batches each SNR point's trials into ONE on-device
+    program (DeviceDecoder.decode_windows_ri) — the TPU path gets the
+    same curve in seconds. Trial inputs are engine-independent (same
+    seed -> same windows)."""
     expect = f"{callsign} {grid} {power:2d}"
     rng = np.random.default_rng(seed)
     result = SweepResult(trials=trials)
+    cfg = config or PipelineConfig()
     if interference is not None:
         # tile shorter captures (e.g. the whale-song wav) over the window
-        fl = decoder.config.stream.fl
+        fl = cfg.stream.fl
         reps = int(np.ceil(fl / len(interference)))
         interference = np.tile(np.asarray(interference, np.complex64),
                                reps)[:fl]
+
+    def make_trial(snr):
+        f_off = rng.uniform(-5.0, 5.0)
+        start = int(rng.integers(0, 750))
+        z = synthesize_frame(callsign, grid, power, start_sample=start,
+                             freq_offset=f_off)
+        z = awgn(z, snr, rng=rng)
+        if interference is not None:
+            z = z + interference[:len(z)]
+        return z
+
+    if engine == "device":
+        import jax.numpy as jnp
+
+        from uwspr_tpu.demod.finesync import complex_to_ri
+        from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+        from uwspr_tpu.protocol.messages import unpack_message
+
+        decoder = DeviceDecoder(cfg)
+        for snr in snrs_db:
+            windows = [make_trial(snr) for _ in range(trials)]
+            ri = np.stack([complex_to_ri(w) for w in windows])
+            out = decoder.unpack_output(
+                np.asarray(decoder.decode_windows_ri(jnp.asarray(ri))))
+            ok = 0
+            for t in range(trials):
+                msgs = []
+                for c in np.flatnonzero(out.success[t]):
+                    u = unpack_message(bytes(out.payload[t][c]))
+                    if u:
+                        msgs.append(u.text)
+                ok += expect in msgs
+                if progress:
+                    progress(snr, t, ok)
+            result.snr_db.append(float(snr))
+            result.decode_rate.append(ok / trials)
+        return result
+
+    decoder = WindowDecoder(cfg)
     for snr in snrs_db:
         ok = 0
         for t in range(trials):
-            f_off = rng.uniform(-5.0, 5.0)
-            start = int(rng.integers(0, 750))
-            z = synthesize_frame(callsign, grid, power, start_sample=start,
-                                 freq_offset=f_off)
-            z = awgn(z, snr, rng=rng)
-            if interference is not None:
-                z = z + interference[:len(z)]
+            z = make_trial(snr)
             r = decoder(z)
             if expect in [s.message for s in r.spots]:
                 ok += 1

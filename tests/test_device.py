@@ -32,6 +32,20 @@ def test_device_golden_decode(device_decoder, reference_examples):
     assert "VE3EMB FN25 30" in msgs
 
 
+def test_device_single_jiggle():
+    """n_jiggles=1 exercises the two-phase Fano's J==1 early path (no
+    phase 2); an aligned strong frame must still decode identically."""
+    config = PipelineConfig(demod=DemodConfig(maxcycles=2000, n_jiggles=1))
+    dec = DeviceDecoder(config)
+    z = synthesize_frame("K1ABC", "FN42", 37, start_sample=600,
+                         freq_offset=1.5)
+    z = awgn(z, -17, rng=np.random.default_rng(3))
+    out = dec(z)
+    assert "K1ABC FN42 37" in dec.messages(out)
+    spot = next(s for s in dec.spots(out) if s.message == "K1ABC FN42 37")
+    assert spot.jiggle == 0
+
+
 def test_device_matches_host_on_noisy(device_decoder):
     rng = np.random.default_rng(11)
     z = synthesize_frame("K1ABC", "FN42", 37, start_sample=600,

@@ -46,6 +46,29 @@ def test_device_single_jiggle():
     assert spot.jiggle == 0
 
 
+def test_hybrid_fano_matches_device():
+    """fano_mode="host" (hybrid engine: device pipeline + native host
+    Fano) must reproduce the all-device output exactly — the backends are
+    bit-exact and the first-success-in-jiggle-order selection is shared."""
+    config = PipelineConfig(demod=DemodConfig(maxcycles=2000))
+    dev = DeviceDecoder(config)
+    hyb = DeviceDecoder(config, fano_mode="host")
+    rng = np.random.default_rng(7)
+    wins = []
+    for snr in (-17.0, -23.0, -26.0):
+        z = synthesize_frame("VE3EMB", "FN25", 30,
+                             start_sample=int(rng.integers(0, 700)),
+                             freq_offset=float(rng.uniform(-4, 4)))
+        wins.append(awgn(z, snr, rng=rng))
+    a = dev.decode_batch(np.stack(wins))
+    b = hyb.decode_batch(np.stack(wins))
+    np.testing.assert_array_equal(a.success, b.success)
+    np.testing.assert_array_equal(a.payload[a.success], b.payload[b.success])
+    np.testing.assert_array_equal(a.jiggle[a.success], b.jiggle[b.success])
+    np.testing.assert_allclose(a.sync, b.sync, rtol=1e-6)
+    assert a.success.sum() >= 3          # every window decodes
+
+
 def test_device_matches_host_on_noisy(device_decoder):
     rng = np.random.default_rng(11)
     z = synthesize_frame("K1ABC", "FN42", 37, start_sample=600,

@@ -34,15 +34,19 @@ def _apply_platform(args):
 def _make_engine(args, ht):
     """'device': one jitted XLA program per window (TPU serving path —
     minimizes host<->device round trips, which dominate over a tunnel).
+    'hybrid': device pipeline through the sync/rms gates, Fano on the
+    host (native C++) — same results; preferred when deep-SNR windows
+    would exhaust the on-device Fano budget (watchdog-slow while_loop).
     'host': staged host orchestration (flexible, fast on CPU)."""
     import jax
     engine = args.engine
     if engine == "auto":
         engine = "device" if jax.default_backend() == "tpu" else "host"
-    if engine == "device":
+    if engine in ("device", "hybrid"):
         from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
-        dec = DeviceDecoder()
-        return dec, lambda window: dec.spots(dec(window), ht), "device"
+        dec = DeviceDecoder(
+            fano_mode="host" if engine == "hybrid" else "device")
+        return dec, lambda window: dec.spots(dec(window), ht), engine
     from uwspr_tpu.pipeline.decoder import WindowDecoder
     dec = WindowDecoder(hashtable=ht)
     return dec, lambda window: dec(window).spots, "host"
@@ -327,7 +331,7 @@ def main(argv=None):
     d = sub.add_parser("decode", help="decode a .c2 or .wav capture")
     d.add_argument("file")
     d.add_argument("--wav", action="store_true")
-    d.add_argument("--engine", choices=["auto", "host", "device"],
+    d.add_argument("--engine", choices=["auto", "host", "device", "hybrid"],
                    default="auto",
                    help="device = one XLA program per window (TPU); "
                         "host = staged orchestration (CPU)")
@@ -375,7 +379,7 @@ def main(argv=None):
     s.add_argument("--trials", type=int, default=20)
     s.add_argument("--whales", default=None,
                    help="wav file mixed in as interference")
-    s.add_argument("--engine", choices=["auto", "host", "device"],
+    s.add_argument("--engine", choices=["auto", "host", "device", "hybrid"],
                    default="auto",
                    help="host = per-trial WindowDecoder; device = each "
                         "SNR point's trials batched in one TPU program")
@@ -395,7 +399,7 @@ def main(argv=None):
                    help="loop a file input (reference c2file_source repeat)")
     v.add_argument("--sim-drift", type=float, default=0.0,
                    help="inject linear drift into a .c2 input (Hz/min)")
-    v.add_argument("--engine", choices=["auto", "host", "device"],
+    v.add_argument("--engine", choices=["auto", "host", "device", "hybrid"],
                    default="auto")
     v.add_argument("--channels", type=int, default=4)
     v.add_argument("--windows", type=int, default=30,

@@ -75,12 +75,24 @@ class DeviceDecoder:
     """Configuration-baked jittable decoder."""
 
     def __init__(self, config: PipelineConfig | None = None,
-                 truncate_stage: str | None = None):
+                 truncate_stage: str | None = None,
+                 fano_mode: str = "device"):
         # truncate_stage ("post_refine" | "pre_fano" | "post_fano"): build a
         # program that stops after that stage and returns a reduction —
         # profiling aid for per-stage cost attribution on the real chip
         # (standalone microbenchmarks are useless over the tunnel).
         self.truncate_stage = truncate_stage
+        # fano_mode "device": everything in one XLA program (default).
+        # fano_mode "host" (the hybrid engine): the program stops after the
+        # sync/rms gates and returns gated soft symbols; Fano runs on the
+        # host via the native C++ backend. The on-device lockstep
+        # while_loop pays ~ms of small-op dispatch per unrolled step, so a
+        # deep-SNR window whose lanes exhaust the 10000-cycle/bit budget
+        # (reference budget, lib/sync_and_demodulate_impl.cc:329) degrades
+        # from ~10 ms to minutes and can exceed remote-TPU program
+        # watchdogs; the host backend decodes the same lanes bit-exactly
+        # in milliseconds with per-lane early exit.
+        self.fano_mode = fano_mode
         self.config = config or PipelineConfig()
         cfg = self.config.coarse
         # Candidate-lane count: min(maxfreqs, structural peak bound). For
@@ -130,6 +142,8 @@ class DeviceDecoder:
     def _pack(out: dict) -> jnp.ndarray:
         if "_t" in out:                     # truncated profiling program
             return out["_t"]
+        if "_prefano" in out:               # hybrid engine: gates + symbols
+            return out["_prefano"]
         head = jnp.stack([
             out["success"].astype(jnp.float32),
             out["valid"].astype(jnp.float32),
@@ -332,6 +346,24 @@ class DeviceDecoder:
             return {"_t": gate.sum() + symbols.astype(jnp.int32).sum()
                     + rms.sum()}
 
+        if self.fano_mode == "host":
+            # hybrid engine: ship candidate metadata + gated deinterleaved
+            # symbols to the host in ONE packed f32 array (one d2h RPC);
+            # Fano + first-success selection run in _host_fano_assemble.
+            # layout: 0 valid 1 worth 2 freq 3 snr 4 shift 5 drift 6 mode
+            #         7:11 slm  11:11+J sync2  11+J:11+2J gate
+            #         11+2J:    deinterleaved symbols (J*162)
+            deint = (symbols.reshape(C * J, 162)[:, self._perm]
+                     .reshape(C, J * 162))
+            head = jnp.stack([
+                valid.astype(jnp.float32), worth.astype(jnp.float32),
+                f1, snr, shift1.astype(jnp.float32), drift1,
+                mode.astype(jnp.float32)], axis=-1)
+            return {"_prefano": jnp.concatenate(
+                [head, slm_params.astype(jnp.float32), sync2,
+                 gate.astype(jnp.float32), deint.astype(jnp.float32)],
+                axis=-1)}
+
         # ---- batched Fano over gated lanes, two phases ----
         # The reference tries jiggled shifts sequentially and stops at the
         # first success (lib/sync_and_demodulate_impl.cc:457-482); almost
@@ -425,16 +457,75 @@ class DeviceDecoder:
             "fano_overflow": fano_overflow,
         }
 
+    def _host_fano_assemble(self, a: np.ndarray) -> DeviceDecoderOutput:
+        """Packed prefano (..., C, 11+2J+162J) -> Fano on the host (native
+        C++ backend, per-lane early exit) -> typed output identical in
+        semantics to the all-device path (first success in jiggle order)."""
+        from uwspr_tpu.fec import fano_decode_batch
+
+        dcfg = self.config.demod
+        a = np.asarray(a)
+        C, J = self.n_cand, dcfg.n_jiggles
+        lead = a.shape[:-2]
+        flat = a.reshape(-1, C, a.shape[-1])
+        W = flat.shape[0]
+        valid = flat[..., 0] > 0.5
+        worth = flat[..., 1] > 0.5
+        freq = flat[..., 2].astype(np.float32)
+        snr = flat[..., 3].astype(np.float32)
+        shift = flat[..., 4].astype(np.int32)
+        drift = flat[..., 5].astype(np.float32)
+        mode = flat[..., 6].astype(np.int32)
+        slm = flat[..., 7:11].astype(np.float32)
+        sync2 = flat[..., 11:11 + J].astype(np.float32)       # (W, C, J)
+        gate = flat[..., 11 + J:11 + 2 * J] > 0.5
+        deint = flat[..., 11 + 2 * J:].reshape(W, C, J, 162).astype(np.uint8)
+
+        success, data, _, _, _ = fano_decode_batch(
+            deint.reshape(-1, 162), self._mettab,
+            gate.reshape(-1), backend=self.config.fano_backend,
+            delta=dcfg.fano_delta, maxcycles=dcfg.maxcycles)
+        success = (success.reshape(W, C, J) & gate)
+        data = data.reshape(W, C, J, -1)
+
+        any_s = success.any(axis=-1)
+        jbest = np.argmax(success, axis=-1).astype(np.int32)  # first True
+        wi, ci = np.indices((W, C))
+        payload = data[wi, ci, jbest, :7]
+        return DeviceDecoderOutput(
+            success=(any_s & worth).reshape(*lead, C),
+            payload=payload.reshape(*lead, C, 7),
+            freq=freq.reshape(*lead, C),
+            snr=snr.reshape(*lead, C),
+            sync=sync2[wi, ci, jbest].reshape(*lead, C),
+            shift=shift.reshape(*lead, C),
+            drift=drift.reshape(*lead, C),
+            mode=mode.reshape(*lead, C),
+            slm_params=slm.reshape(*lead, C, 4),
+            jiggle=jbest.reshape(*lead, C),
+            valid=valid.reshape(*lead, C),
+            fano_overflow=np.zeros(lead, np.int32),           # no lane cap
+        )
+
     def __call__(self, z: np.ndarray) -> DeviceDecoderOutput:
         from uwspr_tpu.demod.finesync import complex_to_ri
-        out = self.decode_window_ri(jnp.asarray(complex_to_ri(z)))
+        out = np.asarray(self.decode_window_ri(
+            jnp.asarray(complex_to_ri(z))))
+        if self.fano_mode == "host":
+            return self._host_fano_assemble(out)
         return self.unpack_output(out)
 
     def decode_batch(self, zs: np.ndarray) -> DeviceDecoderOutput:
         """(W, fl) complex windows -> batched output (leading axis W)."""
         from uwspr_tpu.demod.finesync import complex_to_ri
         ri = np.stack([complex_to_ri(z) for z in np.asarray(zs)])
-        out = self.decode_windows_ri(jnp.asarray(ri))
+        return self.decode_ri_batch(ri)
+
+    def decode_ri_batch(self, ri: np.ndarray) -> DeviceDecoderOutput:
+        """(W, 2, fl) float32 windows -> typed output, honoring fano_mode."""
+        out = np.asarray(self.decode_windows_ri(jnp.asarray(ri)))
+        if self.fano_mode == "host":
+            return self._host_fano_assemble(out)
         return self.unpack_output(out)
 
     def messages(self, out: DeviceDecoderOutput, hashtable=None) -> list[str]:

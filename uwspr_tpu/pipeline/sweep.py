@@ -64,19 +64,17 @@ def snr_sweep(snrs_db, trials: int = 20, *, callsign: str = "VE3EMB",
             z = z + interference[:len(z)]
         return z
 
-    if engine == "device":
-        import jax.numpy as jnp
-
+    if engine in ("device", "hybrid"):
         from uwspr_tpu.demod.finesync import complex_to_ri
         from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
         from uwspr_tpu.protocol.messages import unpack_message
 
-        decoder = DeviceDecoder(cfg)
+        decoder = DeviceDecoder(
+            cfg, fano_mode="host" if engine == "hybrid" else "device")
         for snr in snrs_db:
             windows = [make_trial(snr) for _ in range(trials)]
             ri = np.stack([complex_to_ri(w) for w in windows])
-            out = decoder.unpack_output(
-                np.asarray(decoder.decode_windows_ri(jnp.asarray(ri))))
+            out = decoder.decode_ri_batch(ri)
             ok = 0
             for t in range(trials):
                 msgs = []

@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Benchmark matrix: the BASELINE.md benchmark configs on the real TPU.
+
+Rows (BASELINE.md "Benchmark configs"):
+  golden_single     one-window decode of examples/VE3EMB.c2 (warm latency)
+  wideband_multi    reference GRC defaults (halfbandwidth=187 -> full
+                    512-bin spectrum, maxfreqs=200) with 10 simultaneous
+                    signals per window at -15 dB — the multi-candidate
+                    stress (grc/uwspr_FDR.xml:31-36)
+  channels_256      256 independent channels, one 120 s window each, one
+                    batched device program — the single-host continuous
+                    receiver step (the per-9 s-hop real-time budget,
+                    lib/sliding_window_stream_to_pdu_impl.cc:113-135)
+
+The >=2-host pod-scale config cannot run here (one physical chip); its
+correctness + weak-scaling evidence is the CPU-mesh artifact
+SCALING_r02.json and tests/test_multihost.py.
+
+Writes BENCH_MATRIX_r{N}.json at the repo root (N from --round, default 2)
+and prints one summary JSON line per row to stdout.
+
+Run: nohup timeout 3000 python scripts/bench_matrix.py > /tmp/bm.log 2>&1 &
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from uwspr_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from uwspr_tpu.config import CoarseConfig, DemodConfig, PipelineConfig
+from uwspr_tpu.demod.finesync import complex_to_ri
+from uwspr_tpu.io.c2file import read_c2
+from uwspr_tpu.io.channel import awgn, noise_sigma
+from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+from uwspr_tpu.protocol.modulate import synthesize_frame
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+HOP_S = 9.0                      # real-time budget per window per channel
+CALLS = ["K1ABC", "W9XYZ", "N2AB", "VE3EMB", "G4CDE",
+         "JA1FG", "VK2HI", "PY3JK", "ZS6LM", "OH2NP"]
+GRIDS = ["FN42", "EM12", "FN31", "FN25", "IO91",
+         "PM95", "QF56", "GF49", "KG33", "KP20"]
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def timed_batch(decoder, ri, reps=3):
+    """Warm once, then time reps of decode+d2h (np.asarray forces the
+    transfer; block_until_ready is unreliable on the tunneled runtime)."""
+    t0 = time.time()
+    out = np.asarray(decoder.decode_windows_ri(jnp.asarray(ri)))
+    log(f"  compile+first: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    for _ in range(reps):
+        out = np.asarray(decoder.decode_windows_ri(jnp.asarray(ri)))
+    return out, (time.time() - t0) / reps
+
+
+def row_golden():
+    c2 = read_c2(ROOT.parent / "reference/examples/VE3EMB.c2")
+    dec = DeviceDecoder()
+    ri = complex_to_ri(np.asarray(c2.samples))[None]
+    out, dt = timed_batch(dec, ri, reps=10)
+    msgs = dec.messages(dec.unpack_output(out).window(0))
+    ok = "VE3EMB FN25 30" in msgs
+    return {
+        "config": "golden_single",
+        "windows": 1,
+        "ms_per_window": round(dt * 1000, 2),
+        "decoded": ok,
+        "messages": msgs,
+        "rt_factor": round(HOP_S / dt, 1),
+    }
+
+
+def row_wideband(n_windows=8, n_sig=10, snr_db=-15.0, seed=3):
+    cfg = PipelineConfig(
+        coarse=CoarseConfig(halfbandwidth=187, maxfreqs=200),
+        demod=DemodConfig())
+    dec = DeviceDecoder(cfg)
+    rng = np.random.default_rng(seed)
+    sigma = noise_sigma(snr_db)
+    windows, expected = [], []
+    for w in range(n_windows):
+        z = (rng.normal(scale=sigma, size=45000)
+             + 1j * rng.normal(scale=sigma, size=45000)).astype(np.complex64)
+        exp = set()
+        # 10 signals spread across the full 375 Hz passband, distinct
+        # frequencies (>= 8 Hz apart via fixed grid + small jitter)
+        base = np.linspace(-170, 170, n_sig)
+        for k in range(n_sig):
+            f = float(base[k] + rng.uniform(-2, 2))
+            msg = (CALLS[k], GRIDS[k], 30)
+            zf = synthesize_frame(*msg, start_sample=int(rng.integers(0, 2000)),
+                                  freq_offset=f, pad_to=45000)
+            z += zf
+            exp.add(f"{msg[0]} {msg[1]} 30")
+        windows.append(z)
+        expected.append(exp)
+    ri = np.stack([complex_to_ri(z) for z in windows])
+    out, dt = timed_batch(dec, ri, reps=3)
+    typed = dec.unpack_output(out)
+    found = [set(dec.messages(typed.window(w))) for w in range(n_windows)]
+    n_dec = sum(len(found[w] & expected[w]) for w in range(n_windows))
+    n_exp = sum(len(e) for e in expected)
+    return {
+        "config": "wideband_multi",
+        "halfbandwidth": 187,
+        "maxfreqs": 200,
+        "signals_per_window": n_sig,
+        "snr_db": snr_db,
+        "windows": n_windows,
+        "ms_per_window": round(dt / n_windows * 1000, 2),
+        "decoded": f"{n_dec}/{n_exp}",
+        "decodes_per_s": round(n_dec / dt, 1),
+        "rt_factor": round(HOP_S * n_windows / dt, 1),
+    }
+
+
+def row_channels(n_ch=256, snr_db=-18.0, seed=4):
+    dec = DeviceDecoder()
+    rng = np.random.default_rng(seed)
+    windows = []
+    for c in range(n_ch):
+        z = synthesize_frame("VE3EMB", "FN25", 30,
+                             start_sample=int(rng.integers(0, 2000)),
+                             freq_offset=float(rng.uniform(-5, 5)))
+        windows.append(awgn(z, snr_db, rng=rng))
+    ri = np.stack([complex_to_ri(z) for z in windows])
+    out, dt = timed_batch(dec, ri, reps=3)
+    typed = dec.unpack_output(out)
+    ok = sum("VE3EMB FN25 30" in dec.messages(typed.window(w))
+             for w in range(n_ch))
+    sps = n_ch * 45000.0 / dt
+    return {
+        "config": "channels_256",
+        "channels": n_ch,
+        "snr_db": snr_db,
+        "decoded": f"{ok}/{n_ch}",
+        "step_seconds": round(dt, 2),
+        "window_samples_per_s_per_chip": round(sps, 1),
+        "realtime_channel_capacity": round(sps / 5000.0, 1),
+        "meets_realtime_budget": dt < HOP_S,
+    }
+
+
+def main():
+    round_n = 2
+    for a in sys.argv[1:]:
+        if a.startswith("--round="):
+            round_n = int(a.split("=")[1])
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    rows = []
+    for fn in (row_golden, row_wideband, row_channels):
+        log(f"--- {fn.__name__} ---")
+        r = fn()
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    art = {
+        "hardware": str(jax.devices()[0]),
+        "baseline": "reference real-time budget: one 45000-sample window "
+                    "per 9 s hop per channel on one CPU thread (BASELINE.md)",
+        "rows": rows,
+    }
+    out = ROOT / f"BENCH_MATRIX_r{round_n:02d}.json"
+    out.write_text(json.dumps(art, indent=1) + "\n")
+    log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

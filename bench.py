@@ -27,7 +27,7 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "32"))
+N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "128"))
 SNR_DB = float(os.environ.get("BENCH_SNR", "-18"))
 BASELINE_SAMPLES_PER_S = 5000.0
 
@@ -69,11 +69,12 @@ def main():
     ri_j = jnp.asarray(ri)
 
     def run():
-        """One lax.map program decodes all windows window-by-window on
-        device (vmapped batching measured slower: the batched probe grid
-        is HBM-bound and the lockstep Fano waits on the slowest window).
-        The result is ONE packed (W, C, 21) f32 array — a single d2h RPC
-        (each fetched array costs ~30 ms on the tunneled runtime). The
+        """One XLA program decodes all windows: the pre-Fano pipeline is
+        vmapped over W (probe einsums carry W*C lanes, keeping the MXU
+        busy) and all windows' gated lanes decode in ONE cross-window
+        Fano batch (~1.9x over the round-1 serial lax.map).  The result
+        is ONE packed (W, C, 21) f32 array — a single d2h RPC (each
+        fetched array costs ~30 ms on the tunneled runtime). The
         np.asarray d2h forces completion — block_until_ready is not
         reliable on all remote TPU runtimes."""
         out = decoder.decode_windows_ri(ri_j)

@@ -118,6 +118,48 @@ def test_device_vs_host_parity():
             assert abs(ds.shift - hs.shift) <= 16, (snr, ds.shift, hs.shift)
 
 
+def test_batched_vmap_matches_map():
+    """window_batch="vmap" (vmapped pre-Fano pipeline + one cross-window
+    Fano batch) must be bit-identical to the serial lax.map path, in both
+    the all-device and hybrid engines, including multi-signal and
+    noise-only windows."""
+    import jax.numpy as jnp
+
+    from uwspr_tpu.demod.finesync import complex_to_ri
+
+    config = PipelineConfig(demod=DemodConfig(maxcycles=2000))
+    rng = np.random.default_rng(7)
+    wins = []
+    for w in range(3):
+        z = synthesize_frame("VE3EMB", "FN25", 30,
+                             start_sample=int(rng.integers(0, 2000)),
+                             freq_offset=float(rng.uniform(-5, 5)))
+        if w == 1:   # two frames in one window
+            z = z + synthesize_frame("K1ABC", "FN42", 37, start_sample=500,
+                                     freq_offset=-6.0, pad_to=45000)
+        if w == 2:   # noise only
+            z = 0 * z
+        wins.append(awgn(z, (-20, -16, -30)[w], rng=rng))
+    ri = jnp.asarray(np.stack([complex_to_ri(z) for z in wins]))
+
+    dm = DeviceDecoder(config, window_batch="map")
+    dv = DeviceDecoder(config, window_batch="vmap")
+    om = np.asarray(dm.decode_windows_ri(ri))
+    ov = np.asarray(dv.decode_windows_ri(ri))
+    np.testing.assert_array_equal(om, ov)
+    typed = dv.unpack_output(ov)
+    assert "VE3EMB FN25 30" in dv.messages(typed.window(0))
+    assert {"VE3EMB FN25 30", "K1ABC FN42 37"} <= set(
+        dv.messages(typed.window(1)))
+    assert not typed.success[2].any()
+
+    hm = DeviceDecoder(config, fano_mode="host", window_batch="map")
+    hv = DeviceDecoder(config, fano_mode="host", window_batch="vmap")
+    np.testing.assert_array_equal(
+        np.asarray(hm.decode_windows_ri(ri)),
+        np.asarray(hv.decode_windows_ri(ri)))
+
+
 def test_device_noise_only(device_decoder):
     rng = np.random.default_rng(5)
     sigma = noise_sigma(-18.0)

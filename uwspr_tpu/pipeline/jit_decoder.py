@@ -76,7 +76,8 @@ class DeviceDecoder:
 
     def __init__(self, config: PipelineConfig | None = None,
                  truncate_stage: str | None = None,
-                 fano_mode: str = "device"):
+                 fano_mode: str = "device",
+                 window_batch: str = "vmap"):
         # truncate_stage ("post_refine" | "pre_fano" | "post_fano"): build a
         # program that stops after that stage and returns a reduction —
         # profiling aid for per-stage cost attribution on the real chip
@@ -124,14 +125,22 @@ class DeviceDecoder:
         # decode. unpack_output() recovers the typed fields on the host.
         self.decode_window_ri = jax.jit(
             lambda ri: self._pack(self._decode_window_ri(ri)))
-        # batched windows: one XLA program decodes (W, 2, fl) window by
-        # window (lax.map).  Measured faster than a vmapped batch on one
-        # chip — the vmapped probe grid is HBM-bound and the lockstep Fano
-        # waits on the slowest window — and compatible with the Pallas
-        # probe kernel, which has no vmap batching rule.
-        self.decode_windows_ri = jax.jit(
-            lambda ris: jax.lax.map(
-                lambda ri: self._pack(self._decode_window_ri(ri)), ris))
+        # batched windows: one XLA program decodes (W, 2, fl).
+        # window_batch "vmap" (default): the whole pre-Fano pipeline is
+        # vmapped over W — each probe einsum carries the full (W*C) lane
+        # batch (vs C=13 lanes per serial step, which leaves the MXU
+        # latency-bound) — and all windows' gated lanes are compacted
+        # per-window then decoded in ONE cross-window Fano batch, so the
+        # while_loop dispatch overhead is paid once per batch instead of
+        # once per window. window_batch "map": serial lax.map over
+        # windows (round-1 behavior; smaller live buffers).
+        if window_batch == "vmap" and truncate_stage is None:
+            self.decode_windows_ri = jax.jit(self._decode_windows_batched)
+        else:
+            self.decode_windows_ri = jax.jit(
+                lambda ris: jax.lax.map(
+                    lambda ri: self._pack(self._decode_window_ri(ri)), ris))
+        self.window_batch = window_batch
 
     # -- output packing: one d2h array instead of eleven --------------------
     # column layout (all exactly representable in f32):
@@ -154,10 +163,10 @@ class DeviceDecoder:
             out["drift"].astype(jnp.float32),
             out["mode"].astype(jnp.float32),
             out["jiggle"].astype(jnp.float32),
-        ], axis=-1)                                             # (C, 9)
+        ], axis=-1)                                             # (..., C, 9)
         overflow = jnp.broadcast_to(
-            out["fano_overflow"].astype(jnp.float32)[None, None],
-            (head.shape[0], 1))
+            out["fano_overflow"].astype(jnp.float32)[..., None, None],
+            head.shape[:-1] + (1,))
         return jnp.concatenate(
             [head, out["slm_params"].astype(jnp.float32),
              out["payload"].astype(jnp.float32), overflow], axis=-1)
@@ -233,7 +242,10 @@ class DeviceDecoder:
         runtimes)."""
         return self._decode_window(jax.lax.complex(ri[0], ri[1]))
 
-    def _decode_window(self, z: jnp.ndarray) -> dict:
+    def _prefano_ri(self, ri: jnp.ndarray) -> dict:
+        return self._prefano(jax.lax.complex(ri[0], ri[1]))
+
+    def _prefano(self, z: jnp.ndarray) -> dict:
         cfg = self.config.coarse
         dcfg = self.config.demod
         z = z.astype(jnp.complex64)
@@ -346,23 +358,49 @@ class DeviceDecoder:
             return {"_t": gate.sum() + symbols.astype(jnp.int32).sum()
                     + rms.sum()}
 
+        deint = (symbols.reshape(C * J, 162)[:, self._perm]
+                 .reshape(C, J, 162))                         # uint8
+        return {
+            "valid": valid, "worth": worth, "freq": f1, "snr": snr,
+            "shift": shift1, "drift": drift1, "mode": mode,
+            "slm_params": slm_params, "sync2": sync2, "gate": gate,
+            "deint": deint,
+        }
+
+    def _pack_prefano(self, pre: dict) -> jnp.ndarray:
+        """hybrid engine: candidate metadata + gated deinterleaved symbols
+        in ONE packed f32 array (one d2h RPC); Fano + first-success
+        selection run in _host_fano_assemble.
+        layout: 0 valid 1 worth 2 freq 3 snr 4 shift 5 drift 6 mode
+                7:11 slm  11:11+J sync2  11+J:11+2J gate
+                11+2J:    deinterleaved symbols (J*162)"""
+        C, J = pre["gate"].shape
+        head = jnp.stack([
+            pre["valid"].astype(jnp.float32),
+            pre["worth"].astype(jnp.float32),
+            pre["freq"], pre["snr"], pre["shift"].astype(jnp.float32),
+            pre["drift"], pre["mode"].astype(jnp.float32)], axis=-1)
+        return jnp.concatenate(
+            [head, pre["slm_params"].astype(jnp.float32), pre["sync2"],
+             pre["gate"].astype(jnp.float32),
+             pre["deint"].reshape(C, J * 162).astype(jnp.float32)], axis=-1)
+
+    def _decode_window(self, z: jnp.ndarray) -> dict:
+        pre = self._prefano(z)
+        if "_t" in pre:
+            return pre
         if self.fano_mode == "host":
-            # hybrid engine: ship candidate metadata + gated deinterleaved
-            # symbols to the host in ONE packed f32 array (one d2h RPC);
-            # Fano + first-success selection run in _host_fano_assemble.
-            # layout: 0 valid 1 worth 2 freq 3 snr 4 shift 5 drift 6 mode
-            #         7:11 slm  11:11+J sync2  11+J:11+2J gate
-            #         11+2J:    deinterleaved symbols (J*162)
-            deint = (symbols.reshape(C * J, 162)[:, self._perm]
-                     .reshape(C, J * 162))
-            head = jnp.stack([
-                valid.astype(jnp.float32), worth.astype(jnp.float32),
-                f1, snr, shift1.astype(jnp.float32), drift1,
-                mode.astype(jnp.float32)], axis=-1)
-            return {"_prefano": jnp.concatenate(
-                [head, slm_params.astype(jnp.float32), sync2,
-                 gate.astype(jnp.float32), deint.astype(jnp.float32)],
-                axis=-1)}
+            return {"_prefano": self._pack_prefano(pre)}
+        return self._fano_select(pre)
+
+    def _fano_select(self, pre: dict) -> dict:
+        dcfg = self.config.demod
+        C, J = pre["gate"].shape
+        cidx = jnp.arange(C)
+        valid, worth, gate = pre["valid"], pre["worth"], pre["gate"]
+        f1, snr, shift1 = pre["freq"], pre["snr"], pre["shift"]
+        drift1, mode, slm_params = pre["drift"], pre["mode"], pre["slm_params"]
+        sync2 = pre["sync2"]
 
         # ---- batched Fano over gated lanes, two phases ----
         # The reference tries jiggled shifts sequentially and stops at the
@@ -374,8 +412,7 @@ class DeviceDecoder:
         # phase 2 decodes jiggles 1.. solely for candidates phase 1 did
         # not decode (usually none — the while_loop exits immediately).
         # First-success-in-jiggle-order output is preserved exactly.
-        deint = symbols.reshape(C * J, 162)[:, self._perm].astype(jnp.int32)
-        deint = deint.reshape(C, J, 162)
+        deint = pre["deint"].astype(jnp.int32)                # (C, J, 162)
 
         ML1 = min(dcfg.fano_max_lanes, C)
         gate0 = gate[:, 0]
@@ -438,6 +475,85 @@ class DeviceDecoder:
         return self._outputs(any_success & worth, payload, f1, snr,
                              sync2[cidx, jbest], shift1, drift1, mode,
                              slm_params, jbest, valid, fano_overflow)
+
+    def _decode_windows_batched(self, ris: jnp.ndarray) -> jnp.ndarray:
+        """(W, 2, fl) windows -> packed (W, C, 21) [device mode] or packed
+        prefano (W, C, 11+2J+162J) [hybrid]. The pre-Fano pipeline is
+        vmapped over windows (probe einsums carry W*C lanes instead of C,
+        keeping the MXU busy); gated Fano lanes are compacted per window
+        (identical overflow semantics to the per-window path) and decoded
+        in ONE cross-window two-phase batch, so the while_loop dispatch
+        cost is paid per batch, not per window."""
+        pre = jax.vmap(self._prefano_ri)(ris)
+        if self.fano_mode == "host":
+            return jax.vmap(self._pack_prefano)(pre)
+        return self._pack(self._fano_select_batch(pre))
+
+    def _fano_select_batch(self, pre: dict) -> dict:
+        dcfg = self.config.demod
+        W, C, J = pre["gate"].shape
+        widx = jnp.arange(W)[:, None]
+        cidx = jnp.arange(C)[None, :]
+        gate = pre["gate"]
+        deint = pre["deint"].astype(jnp.int32)               # (W, C, J, 162)
+
+        # phase 1: jiggle-0 lanes of every window, one flat batch
+        ML1 = min(dcfg.fano_max_lanes, C)
+        gate0 = gate[:, :, 0]                                # (W, C)
+        sel1 = jnp.argsort(~gate0, axis=1, stable=True)[:, :ML1]
+        g1 = jnp.take_along_axis(gate0, sel1, axis=1)        # (W, ML1)
+        d1 = deint[widx, sel1, 0]                            # (W, ML1, 162)
+        out1 = fano_decode_batch_jax(d1.reshape(W * ML1, 162), self._mettab,
+                                     g1.reshape(W * ML1),
+                                     maxcycles=dcfg.maxcycles,
+                                     delta=dcfg.fano_delta)
+        succ1 = out1["success"].reshape(W, ML1) & g1
+        nbytes = out1["data"].shape[1]
+        data1 = out1["data"].reshape(W, ML1, nbytes)
+        succ0 = jnp.zeros((W, C), bool).at[widx, sel1].set(succ1)
+        data0 = jnp.zeros((W, C, nbytes), jnp.uint8).at[widx, sel1].set(data1)
+        overflow0 = jnp.maximum(gate0.sum(axis=1) - ML1, 0)
+
+        if J == 1:
+            fano_overflow = overflow0.astype(jnp.int32)
+            any_success = succ0
+            jbest = jnp.zeros((W, C), jnp.int32)
+            payload = data0[:, :, :7]
+        else:
+            # phase 2: remaining jiggles where phase 1 failed, one batch
+            R = C * (J - 1)
+            ML2 = min(dcfg.fano_max_lanes, R)
+            gate_rest = (gate[:, :, 1:] & ~succ0[:, :, None]).reshape(W, R)
+            sel2 = jnp.argsort(~gate_rest, axis=1, stable=True)[:, :ML2]
+            g2 = jnp.take_along_axis(gate_rest, sel2, axis=1)
+            drest = deint[:, :, 1:].reshape(W, R, 162)
+            d2 = drest[widx, sel2]                           # (W, ML2, 162)
+            out2 = fano_decode_batch_jax(d2.reshape(W * ML2, 162),
+                                         self._mettab, g2.reshape(W * ML2),
+                                         maxcycles=dcfg.maxcycles,
+                                         delta=dcfg.fano_delta)
+            succ2 = out2["success"].reshape(W, ML2) & g2
+            data2 = out2["data"].reshape(W, ML2, nbytes)
+            succ_rest = jnp.zeros((W, R), bool).at[widx, sel2].set(succ2)
+            data_rest = (jnp.zeros((W, R, nbytes), jnp.uint8)
+                         .at[widx, sel2].set(data2))
+            success = jnp.concatenate(
+                [succ0[:, :, None], succ_rest.reshape(W, C, J - 1)], axis=2)
+            data = jnp.concatenate(
+                [data0[:, :, None],
+                 data_rest.reshape(W, C, J - 1, nbytes)], axis=2)
+            fano_overflow = (
+                overflow0
+                + jnp.maximum(gate_rest.sum(axis=1) - ML2, 0)
+            ).astype(jnp.int32)
+            any_success = jnp.any(success, axis=2)
+            jbest = jnp.argmax(success, axis=2)              # first True
+            payload = data[widx, cidx, jbest][..., :7]
+        sync = pre["sync2"][widx, cidx, jbest]
+        return self._outputs(any_success & pre["worth"], payload,
+                             pre["freq"], pre["snr"], sync, pre["shift"],
+                             pre["drift"], pre["mode"], pre["slm_params"],
+                             jbest, pre["valid"], fano_overflow)
 
     @staticmethod
     def _outputs(success, payload, freq, snr, sync, shift, drift, mode,

@@ -130,7 +130,11 @@ def row_wideband(n_windows=8, n_sig=10, snr_db=-15.0, seed=3):
     }
 
 
-def row_channels(n_ch=256, snr_db=-18.0, seed=4):
+def row_channels(n_ch=256, snr_db=-18.0, seed=4, step=128):
+    # n_ch channels stream through the compiled `step`-window batched
+    # program in n_ch/step device steps (one 256-window program exceeds
+    # v5e HBM: the vmapped pre-Fano pipeline keeps ~90 MB of probe/Fano
+    # state live per window).
     dec = DeviceDecoder()
     rng = np.random.default_rng(seed)
     windows = []
@@ -140,7 +144,12 @@ def row_channels(n_ch=256, snr_db=-18.0, seed=4):
                              freq_offset=float(rng.uniform(-5, 5)))
         windows.append(awgn(z, snr_db, rng=rng))
     ri = np.stack([complex_to_ri(z) for z in windows])
-    out, dt = timed_batch(dec, ri, reps=3)
+    outs, dts = [], []
+    for lo in range(0, n_ch, step):
+        out, dt = timed_batch(dec, ri[lo:lo + step], reps=3)
+        outs.append(out)
+        dts.append(dt)
+    out, dt = np.concatenate(outs, axis=0), sum(dts)
     typed = dec.unpack_output(out)
     ok = sum("VE3EMB FN25 30" in dec.messages(typed.window(w))
              for w in range(n_ch))

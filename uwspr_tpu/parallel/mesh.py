@@ -121,20 +121,26 @@ class ShardedDecoder:
         fl, hop, halo = self.fl, self.hop, self.halo
         n_win = block_len // hop
         n_time = self.mesh.shape["time"]
-        decode = self.decoder._decode_window
-
-        def per_channel(ext_row):
-            starts = jnp.arange(n_win) * hop
-            idx = starts[:, None] + jnp.arange(fl)[None, :]
-            windows = ext_row[idx]                      # (n_win, fl)
-            return jax.lax.map(decode, windows)
+        prefano = self.decoder._prefano
+        fano_select_batch = self.decoder._fano_select_batch
 
         def shard_fn(x_ri, tail_ri):        # (ch_l, 2, block_len), (ch_l, 2, halo)
             ext_ri = extend_with_halo(x_ri, tail_ri, n_time=n_time,
                                       block_len=block_len, halo=halo)
             ext = jnp.asarray(ext_ri[:, 0] + 1j * ext_ri[:, 1],
                               dtype=jnp.complex64)      # (ch_l, block+halo)
-            out = jax.lax.map(per_channel, ext)         # dict of (ch_l, n_win, ...)
+            # same batched structure as DeviceDecoder._decode_windows_batched:
+            # vmap the pre-Fano pipeline over every (channel, window) of the
+            # shard, then decode all gated lanes in ONE cross-window Fano
+            # batch (bit-identical to the per-window path, ~2x faster on a
+            # real chip — the probe einsums carry ch_l*n_win*C lanes).
+            starts = jnp.arange(n_win) * hop
+            idx = starts[:, None] + jnp.arange(fl)[None, :]
+            wins = ext[:, idx].reshape(ch_local * n_win, fl)
+            pre = jax.vmap(prefano)(wins)
+            flat = fano_select_batch(pre)               # dict of (ch_l*n_win, ...)
+            out = {k: v.reshape((ch_local, n_win) + v.shape[1:])
+                   for k, v in flat.items()}
             n_local = out["success"].sum()
             n_global = jax.lax.psum(n_local, ("channel", "time"))
             return out, n_global

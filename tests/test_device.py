@@ -160,6 +160,29 @@ def test_batched_vmap_matches_map():
         np.asarray(hv.decode_windows_ri(ri)))
 
 
+def test_probe_dtype_bf16_decodes():
+    """probe_dtype="bf16" (real bf16 matmuls, f32 accumulation) must decode
+    the same frames as f32 at operating SNR."""
+    import jax.numpy as jnp
+
+    from uwspr_tpu.demod.finesync import complex_to_ri
+
+    rng = np.random.default_rng(11)
+    wins = []
+    for i in range(3):
+        z = synthesize_frame("VE3EMB", "FN25", 30,
+                             start_sample=int(rng.integers(0, 2000)),
+                             freq_offset=float(rng.uniform(-5, 5)))
+        wins.append(awgn(z, -22, rng=rng))
+    ri = jnp.asarray(np.stack([complex_to_ri(z) for z in wins]))
+    cfg = PipelineConfig(demod=DemodConfig(maxcycles=2000,
+                                           probe_dtype="bf16"))
+    dec = DeviceDecoder(cfg)
+    typed = dec.unpack_output(np.asarray(dec.decode_windows_ri(ri)))
+    for w in range(3):
+        assert "VE3EMB FN25 30" in dec.messages(typed.window(w))
+
+
 def test_device_noise_only(device_decoder):
     rng = np.random.default_rng(5)
     sigma = noise_sigma(-18.0)

@@ -66,6 +66,13 @@ class DemodConfig:
                                   # this many before the lockstep Fano (the
                                   # full 200x17 grid rarely passes gates;
                                   # overflow lanes report failure)
+    probe_dtype: str = "f32"      # device-decoder probe einsums: "f32", or
+                                  # "bf16" (4 real bf16 matmuls, f32
+                                  # accumulation). Measured ~7% faster on
+                                  # v5e (3.40 vs 3.65 ms/window, W=128) —
+                                  # the probe stage is bank-construction/
+                                  # HBM-bound, not matmul-bound — so f32
+                                  # stays the default.
 
     @property
     def minrms(self) -> float:    # plausibility gate: 52 * symfac/64

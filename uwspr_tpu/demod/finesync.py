@@ -220,23 +220,45 @@ def probe_derotate(Amat: jnp.ndarray, drift_sym: jnp.ndarray) -> jnp.ndarray:
 
 def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
                       freqs: jnp.ndarray, *, n_lags: int,
-                      want_symbols: bool = False):
+                      want_symbols: bool = False, dtype: str = "f32"):
     """Evaluate sync (C, F, L) [+ tone powers] for probes against a shared
     derotated window. Phases are evaluated at the aligned index, which
-    rotates each correlation by a unit phasor — only |corr| is consumed."""
+    rotates each correlation by a unit phasor — only |corr| is consumed.
+
+    dtype "bf16": the correlation einsum runs as four real bfloat16
+    matmuls with float32 accumulation. Inputs are unit-scale phasors
+    times the window, so bf16's 8-bit mantissa costs ~0.4% relative
+    error per element, averaged down by the 256-sample accumulation.
+    Measured only ~7% faster on v5e (the stage is bank-construction/
+    HBM-bound, not MXU-bound), so "f32" remains the default."""
     C, F = freqs.shape
     jpf = jnp.arange(_W, dtype=jnp.float32)
     b = jnp.clip(lags.astype(jnp.int32) + _PAD - base[:, None], 0, _W - 256)
     ft = freqs[..., None] + jnp.asarray(_TONES_HZ)                # (C, F, 4)
     wb = (-2.0 * jnp.pi * _DT) * ft[..., None] * jpf              # (C,F,4,W)
-    bank = jax.lax.complex(jnp.cos(wb), jnp.sin(wb)).reshape(C, 1, 4 * F, _W)
     mask = ((jpf[None, None, :] >= b[..., None])
             & (jpf[None, None, :] < b[..., None] + 256)
             ).astype(jnp.float32)                                 # (C, L, W)
-    bankm = bank * mask[:, :, None, :]                            # (C,L,4F,W)
-    corr = jnp.einsum("ciw,clmw->clim", zd, bankm,
-                      preferred_element_type=jnp.complex64)
-    p = jnp.abs(corr).reshape(C, n_lags, 162, F, 4)
+    if dtype == "bf16":
+        bf = jnp.bfloat16
+        br = (jnp.cos(wb).reshape(C, 1, 4 * F, _W)
+              * mask[:, :, None, :]).astype(bf)                   # (C,L,4F,W)
+        bi = (jnp.sin(wb).reshape(C, 1, 4 * F, _W)
+              * mask[:, :, None, :]).astype(bf)
+        zr = jnp.real(zd).astype(bf)
+        zi = jnp.imag(zd).astype(bf)
+        dot = functools.partial(jnp.einsum, "ciw,clmw->clim",
+                                preferred_element_type=jnp.float32)
+        re = dot(zr, br) - dot(zi, bi)
+        im = dot(zr, bi) + dot(zi, br)
+        p = jnp.sqrt(re * re + im * im).reshape(C, n_lags, 162, F, 4)
+    else:
+        bank = jax.lax.complex(jnp.cos(wb), jnp.sin(wb)
+                               ).reshape(C, 1, 4 * F, _W)
+        bankm = bank * mask[:, :, None, :]                        # (C,L,4F,W)
+        corr = jnp.einsum("ciw,clmw->clim", zd, bankm,
+                          preferred_element_type=jnp.complex64)
+        p = jnp.abs(corr).reshape(C, n_lags, 162, F, 4)
     p = jnp.transpose(p, (0, 3, 1, 2, 4))                         # (C,F,L,162,4)
     sign = jnp.asarray(2.0 * SYNC_VECTOR.astype(np.float32) - 1.0)
     cmet = (p[..., 1] + p[..., 3]) - (p[..., 0] + p[..., 2])

@@ -16,6 +16,7 @@ uint8 payload array is the device/host boundary, mirroring the reference's
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -251,6 +252,7 @@ class DeviceDecoder:
         z = z.astype(jnp.complex64)
         C = self.n_cand
         cidx = jnp.arange(C)
+        spe = functools.partial(shared_probe_eval, dtype=dcfg.probe_dtype)
 
         # ---- coarse search ----
         ps = stft_power(z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
@@ -283,14 +285,14 @@ class DeviceDecoder:
         zd = probe_derotate(Amat, dsym)
 
         lag_grid = shift1[:, None] + jnp.arange(-128, 129, 64)[None, :]
-        s = shared_probe_eval(zd, base, lag_grid.astype(jnp.int32),
+        s = spe(zd, base, lag_grid.astype(jnp.int32),
                               f1[:, None], n_lags=5)
         _, li = self._first_argmax(s)
         shift1 = lag_grid[cidx, li].astype(jnp.int32)
         sync1 = s[cidx, 0, li]
 
         freq_grid = f1[:, None] + (jnp.arange(-2, 3) * 0.25)[None, :]
-        s = shared_probe_eval(zd, base, shift1[:, None],
+        s = spe(zd, base, shift1[:, None],
                               freq_grid.astype(jnp.float32), n_lags=1)
         fi2, _ = self._first_argmax(s)
         f1 = freq_grid[cidx, fi2].astype(jnp.float32)
@@ -299,11 +301,11 @@ class DeviceDecoder:
         is_lin = mode != 1
         driftp = drift1 + 0.5
         driftm = drift1 - 0.5
-        sp = shared_probe_eval(
+        sp = spe(
             probe_derotate(Amat, self._drift_offsets(mode, driftp,
                                                      slm_params)),
             base, shift1[:, None], f1[:, None], n_lags=1)[:, 0, 0]
-        sm_ = shared_probe_eval(
+        sm_ = spe(
             probe_derotate(Amat, self._drift_offsets(mode, driftm,
                                                      slm_params)),
             base, shift1[:, None], f1[:, None], n_lags=1)[:, 0, 0]
@@ -316,7 +318,7 @@ class DeviceDecoder:
 
         worth = sync1 > dcfg.minsync1
         lag_grid = shift1[:, None] + jnp.arange(-32, 33, 16)[None, :]
-        s = shared_probe_eval(zd, base, lag_grid.astype(jnp.int32),
+        s = spe(zd, base, lag_grid.astype(jnp.int32),
                               f1[:, None], n_lags=5)
         _, li = self._first_argmax(s)
         shift1 = jnp.where(worth, lag_grid[cidx, li], shift1).astype(jnp.int32)
@@ -324,7 +326,7 @@ class DeviceDecoder:
 
         freq_grid = (f1[:, None] + (jnp.arange(-2, 3) * 0.05)[None, :]
                      ).astype(jnp.float32)
-        s = shared_probe_eval(zd, base, shift1[:, None], freq_grid, n_lags=1)
+        s = spe(zd, base, shift1[:, None], freq_grid, n_lags=1)
         fi2, _ = self._first_argmax(s)
         f1 = jnp.where(worth, freq_grid[cidx, fi2], f1).astype(jnp.float32)
         sync1 = jnp.where(worth, s[cidx, fi2, 0], sync1)
@@ -336,7 +338,7 @@ class DeviceDecoder:
         # ---- soft symbols over all jiggles ----
         J = dcfg.n_jiggles
         lag_grid = shift1[:, None] + self._jiggles[None, :]
-        sync2, p = shared_probe_eval(zd, base, lag_grid.astype(jnp.int32),
+        sync2, p = spe(zd, base, lag_grid.astype(jnp.int32),
                                      f1[:, None], n_lags=J,
                                      want_symbols=True)
         sync2 = sync2[:, 0, :]                                # (C, J)

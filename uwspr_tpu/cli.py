@@ -292,23 +292,37 @@ def _cmd_serve(args):
     external = args.input != "synthetic"
     channels = 1 if external else args.channels
     ht = HashTable.load(args.hashtable) if args.hashtable else HashTable()
-    sd = StreamDecoder(n_channels=channels, hashtable=ht, engine=args.engine)
+    if args.runtime == "native":
+        from uwspr_tpu.pipeline.stream import BatchedStreamDecoder
+        sd = BatchedStreamDecoder(
+            n_channels=channels, hashtable=ht, batch_windows=args.batch,
+            fano_mode="host" if args.engine == "hybrid" else "device")
+        hop = sd.config.stream.shift * sd.config.stream.fs
+    else:
+        sd = StreamDecoder(n_channels=channels, hashtable=ht,
+                           engine=args.engine)
+        hop = sd.windows[0].hop
     logger = (SpotLogger(args.messagelog, args.jsonl, args.spots,
                          args.allwspr)
               if (args.messagelog or args.jsonl or args.spots
                   or args.allwspr) else None)
-    hop = sd.windows[0].hop
     info = {"sent": 0}
     source = (_synthetic_source(args, hop, info) if not external
               else _stdin_source(args, hop) if args.input == "-"
               else _file_source(args, hop))
-    t0 = time.time()
-    for block in source:
-        for ch, r in sd.push(block):
+
+    def emit(results):
+        for ch, r in results:
             for s in r.spots:
                 print(f"ch{ch}: {s.message} ({s.freq:+.2f} Hz)", flush=True)
                 if logger:
                     logger.log(s)
+
+    t0 = time.time()
+    for block in source:
+        emit(sd.push(block))
+    if args.runtime == "native":
+        emit(sd.flush())
     dt = time.time() - t0
     st = sd.stats
     sent = f"{info['sent']} frames sent, " if not external else ""
@@ -401,6 +415,12 @@ def main(argv=None):
                    help="inject linear drift into a .c2 input (Hz/min)")
     v.add_argument("--engine", choices=["auto", "host", "device", "hybrid"],
                    default="auto")
+    v.add_argument("--runtime", choices=["python", "native"],
+                   default="python",
+                   help="native = C++ ingest/windowing + fixed-width "
+                        "batched XLA decode (BatchedStreamDecoder)")
+    v.add_argument("--batch", type=int, default=8,
+                   help="windows per XLA batch for --runtime native")
     v.add_argument("--channels", type=int, default=4)
     v.add_argument("--windows", type=int, default=30,
                    help="hop-blocks to stream (first window after 14); "

@@ -146,6 +146,80 @@ class StreamDecoder:
                 self.stats = StreamStats(**json.load(f))
 
 
+class BatchedStreamDecoder:
+    """Production serving engine: native C++ ingest/windowing + fixed-width
+    batched XLA decode.
+
+    The reference's runtime is GNU Radio's C++ scheduler — per-block
+    threads moving samples through ring buffers, one window decoded at a
+    time. Here the native windower (pipeline/native/stream_native.cc)
+    ingests multichannel blocks and extracts ready windows straight into a
+    batched (W, 2, fl) device-feed buffer, and ONE compiled XLA program of
+    fixed width ``batch_windows`` decodes each batch (the vmapped pipeline
+    + cross-window Fano batch). Short batches at flush are zero-padded to
+    the compiled width — no recompiles, ever.
+
+    push() returns [(channel, DecodeResult), ...] for every batch that
+    filled; flush() drains the remaining ready windows.
+    """
+
+    def __init__(self, config: PipelineConfig | None = None,
+                 n_channels: int = 1, batch_windows: int = 32,
+                 hashtable: HashTable | None = None,
+                 fano_mode: str = "device"):
+        from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+        from uwspr_tpu.pipeline.native import NativeWindower
+        self.config = config or PipelineConfig()
+        scfg = self.config.stream
+        self.batch_windows = batch_windows
+        self.hashtable = hashtable if hashtable is not None else HashTable()
+        self.windower = NativeWindower(n_channels, scfg.fl,
+                                       scfg.shift * scfg.fs,
+                                       scfg.capacity_windows)
+        self._device = DeviceDecoder(self.config, fano_mode=fano_mode)
+        self.stats = StreamStats()
+
+    def _decode_batch(self, ri: np.ndarray, chans: np.ndarray):
+        W = len(ri)
+        if W < self.batch_windows:          # pad to the compiled width
+            ri = np.concatenate(
+                [ri, np.zeros((self.batch_windows - W,) + ri.shape[1:],
+                              dtype=ri.dtype)])
+        t0 = time.perf_counter()
+        out = self._device.decode_ri_batch(ri)
+        self.stats.decode_seconds += time.perf_counter() - t0
+        results = []
+        for w in range(W):
+            one = out.window(w)
+            r = DecodeResult(spots=self._device.spots(one, self.hashtable))
+            r.n_candidates = int(one.valid.sum())
+            self.stats.windows += 1
+            self.stats.candidates += r.n_candidates
+            self.stats.spots += len(r.spots)
+            results.append((int(chans[w]), r))
+        return results
+
+    def _drain(self, full_only: bool):
+        results = []
+        while True:
+            ready = self.windower.ready
+            if ready == 0 or (full_only and ready < self.batch_windows):
+                break
+            ri, chans = self.windower.pop_batch(self.batch_windows)
+            results.extend(self._decode_batch(ri, chans))
+        return results
+
+    def push(self, samples: np.ndarray):
+        """samples: (n,) or (channels, n) or planar (channels, 2, n).
+        Decodes every full ``batch_windows``-wide batch now available."""
+        self.windower.push(np.atleast_2d(np.asarray(samples)))
+        return self._drain(full_only=True)
+
+    def flush(self):
+        """Decode all remaining ready windows (zero-padded final batch)."""
+        return self._drain(full_only=False)
+
+
 @dataclass
 class SpotAggregator:
     """Dedupe spots across overlapping windows (same message+freq bucket)."""
@@ -163,4 +237,5 @@ class SpotAggregator:
         return True
 
 
-__all__ = ["SlidingWindow", "StreamDecoder", "StreamStats", "SpotAggregator"]
+__all__ = ["SlidingWindow", "StreamDecoder", "BatchedStreamDecoder",
+           "StreamStats", "SpotAggregator"]

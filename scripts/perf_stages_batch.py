@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Stage breakdown at the vmapped batch shape (W windows per dispatch).
+
+Each truncate_stage builds a program that stops after that stage and
+returns a scalar, so stage cost = t(stage_k) - t(stage_{k-1}). Run on
+the real TPU:
+
+    nohup timeout 3600 python scripts/perf_stages_batch.py > /tmp/perfb.log 2>&1 &
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from uwspr_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from uwspr_tpu.demod.finesync import complex_to_ri
+from uwspr_tpu.io.channel import awgn
+from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+from uwspr_tpu.protocol.modulate import synthesize_frame
+
+W = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+
+
+def make_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    wins = []
+    for w in range(W):
+        z = synthesize_frame("VE3EMB", "FN25", 30,
+                             start_sample=int(rng.integers(0, 3000)),
+                             freq_offset=float(rng.uniform(-100, 100)))
+        wins.append(awgn(z, -18, rng=rng))
+    return jnp.asarray(np.stack([complex_to_ri(z) for z in wins]))
+
+
+def timed(fn, ri, reps=10):
+    np.asarray(fn(ri))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(ri)
+    np.asarray(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices(), "W =", W,
+          flush=True)
+    ri = make_batch()
+    prev = 0.0
+    for stage in ["post_peaks", "post_coarse", "post_refine", "pre_fano", None]:
+        dec = DeviceDecoder(truncate_stage=stage)
+        t0 = time.perf_counter()
+        np.asarray(dec.decode_windows_ri(ri))
+        print(f"compile {stage}: {time.perf_counter() - t0:.1f} s",
+              flush=True)
+        t = timed(dec.decode_windows_ri, ri)
+        print(f"{str(stage):>12}: {t * 1000 / W:7.3f} ms/win "
+              f"(+{(t - prev) * 1000 / W:6.3f})", flush=True)
+        prev = t
+
+
+if __name__ == "__main__":
+    main()

@@ -118,10 +118,23 @@ def test_device_vs_host_parity():
             assert abs(ds.shift - hs.shift) <= 16, (snr, ds.shift, hs.shift)
 
 
+def _assert_packed_equal(a: np.ndarray, b: np.ndarray, discrete):
+    """Discrete columns (flags, shifts, payload bytes) bit-equal; the
+    remaining continuous columns (freqs, metrics, soft symbols) to f32
+    ulp tolerance — vmap vs lax.map compile the same einsums with
+    different fusion/reduction order, so last-bit drift is expected."""
+    disc = np.zeros(a.shape[-1], dtype=bool)
+    disc[list(discrete)] = True
+    np.testing.assert_array_equal(a[..., disc], b[..., disc])
+    np.testing.assert_allclose(a[..., ~disc], b[..., ~disc],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_batched_vmap_matches_map():
     """window_batch="vmap" (vmapped pre-Fano pipeline + one cross-window
-    Fano batch) must be bit-identical to the serial lax.map path, in both
-    the all-device and hybrid engines, including multi-signal and
+    Fano batch) must match the serial lax.map path — discrete outputs
+    bit-equal, continuous outputs to ulp tolerance — in both the
+    all-device and hybrid engines, including multi-signal and
     noise-only windows."""
     import jax.numpy as jnp
 
@@ -146,7 +159,10 @@ def test_batched_vmap_matches_map():
     dv = DeviceDecoder(config, window_batch="vmap")
     om = np.asarray(dm.decode_windows_ri(ri))
     ov = np.asarray(dv.decode_windows_ri(ri))
-    np.testing.assert_array_equal(om, ov)
+    # layout: 0 success 1 valid 2 freq 3 snr 4 sync 5 shift 6 drift
+    #         7 mode 8 jiggle 9:13 slm 13:20 payload 20 overflow
+    _assert_packed_equal(om, ov,
+                         [0, 1, 5, 7, 8, *range(13, 20), 20])
     typed = dv.unpack_output(ov)
     assert "VE3EMB FN25 30" in dv.messages(typed.window(0))
     assert {"VE3EMB FN25 30", "K1ABC FN42 37"} <= set(
@@ -155,9 +171,15 @@ def test_batched_vmap_matches_map():
 
     hm = DeviceDecoder(config, fano_mode="host", window_batch="map")
     hv = DeviceDecoder(config, fano_mode="host", window_batch="vmap")
-    np.testing.assert_array_equal(
-        np.asarray(hm.decode_windows_ri(ri)),
-        np.asarray(hv.decode_windows_ri(ri)))
+    pm = np.asarray(hm.decode_windows_ri(ri))
+    pv = np.asarray(hv.decode_windows_ri(ri))
+    # prefano layout: 0 valid 1 worth 2 freq 3 snr 4 shift 5 drift 6 mode
+    #                 7:11 slm 11:11+J sync2 11+J:11+2J gate 11+2J: deint
+    # gate flags and the quantized uint8 deint symbols are discrete: any
+    # ulp drift upstream must not flip a quantization bucket
+    J = (pm.shape[-1] - 11) // 164
+    _assert_packed_equal(pm, pv,
+                         [0, 1, 4, 6, *range(11 + J, pm.shape[-1])])
 
 
 def test_probe_dtype_bf16_decodes():

@@ -211,11 +211,30 @@ def make_shared_probe(z: jnp.ndarray, center: jnp.ndarray):
     return jnp.concatenate(blocks, axis=2), base
 
 
+def phasor_ramp(theta: jnp.ndarray, W: int) -> jnp.ndarray:
+    """exp(i * theta * j) for j in [0, W), theta (...,) -> (..., W).
+
+    Split exponential: j = j1 + 64*j2 so exp(i*theta*j) =
+    exp(i*theta*j1) * exp(i*theta*64*j2). Evaluating 64 + W/64
+    transcendentals per theta instead of W matters because the probe
+    pipeline is VPU-transcendental-bound, not MXU-bound (the derotation
+    phasor alone is (C, 162, 1024) cos+sin pairs, ~4x per window): this
+    cuts the dominant refine-stage cost ~12x. The extra unit-phasor
+    product adds one f32 rounding vs direct cos/sin — irrelevant to the
+    magnitude-only correlations downstream."""
+    j1 = jnp.arange(64, dtype=jnp.float32)
+    j2 = jnp.arange(W // 64, dtype=jnp.float32) * 64.0
+    a1 = theta[..., None] * j1
+    a2 = theta[..., None] * j2
+    u = jax.lax.complex(jnp.cos(a1), jnp.sin(a1))       # (..., 64)
+    v = jax.lax.complex(jnp.cos(a2), jnp.sin(a2))       # (..., W/64)
+    return (v[..., :, None] * u[..., None, :]).reshape(theta.shape + (W,))
+
+
 def probe_derotate(Amat: jnp.ndarray, drift_sym: jnp.ndarray) -> jnp.ndarray:
     """Apply the per-symbol drift phasor at the aligned index j'."""
-    jpf = jnp.arange(_W, dtype=jnp.float32)
-    wd = (-2.0 * jnp.pi * _DT) * drift_sym[..., None] * jpf
-    return Amat * jax.lax.complex(jnp.cos(wd), jnp.sin(wd))
+    theta = (-2.0 * jnp.pi * _DT) * drift_sym
+    return Amat * phasor_ramp(theta, _W)
 
 
 def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
@@ -235,16 +254,15 @@ def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
     jpf = jnp.arange(_W, dtype=jnp.float32)
     b = jnp.clip(lags.astype(jnp.int32) + _PAD - base[:, None], 0, _W - 256)
     ft = freqs[..., None] + jnp.asarray(_TONES_HZ)                # (C, F, 4)
-    wb = (-2.0 * jnp.pi * _DT) * ft[..., None] * jpf              # (C,F,4,W)
+    bank = phasor_ramp((-2.0 * jnp.pi * _DT) * ft, _W
+                       ).reshape(C, 1, 4 * F, _W)
     mask = ((jpf[None, None, :] >= b[..., None])
             & (jpf[None, None, :] < b[..., None] + 256)
             ).astype(jnp.float32)                                 # (C, L, W)
     if dtype == "bf16":
         bf = jnp.bfloat16
-        br = (jnp.cos(wb).reshape(C, 1, 4 * F, _W)
-              * mask[:, :, None, :]).astype(bf)                   # (C,L,4F,W)
-        bi = (jnp.sin(wb).reshape(C, 1, 4 * F, _W)
-              * mask[:, :, None, :]).astype(bf)
+        br = (jnp.real(bank) * mask[:, :, None, :]).astype(bf)   # (C,L,4F,W)
+        bi = (jnp.imag(bank) * mask[:, :, None, :]).astype(bf)
         zr = jnp.real(zd).astype(bf)
         zi = jnp.imag(zd).astype(bf)
         dot = functools.partial(jnp.einsum, "ciw,clmw->clim",
@@ -253,8 +271,6 @@ def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
         im = dot(zr, bi) + dot(zi, br)
         p = jnp.sqrt(re * re + im * im).reshape(C, n_lags, 162, F, 4)
     else:
-        bank = jax.lax.complex(jnp.cos(wb), jnp.sin(wb)
-                               ).reshape(C, 1, 4 * F, _W)
         bankm = bank * mask[:, :, None, :]                        # (C,L,4F,W)
         corr = jnp.einsum("ciw,clmw->clim", zd, bankm,
                           preferred_element_type=jnp.complex64)

@@ -135,7 +135,9 @@ class DeviceDecoder:
         # while_loop dispatch overhead is paid once per batch instead of
         # once per window. window_batch "map": serial lax.map over
         # windows (round-1 behavior; smaller live buffers).
-        if window_batch == "vmap" and truncate_stage is None:
+        if window_batch == "vmap" and truncate_stage != "post_fano":
+            # (post_fano truncation lives in the per-window _fano_select;
+            # profile it via the map path)
             self.decode_windows_ri = jax.jit(self._decode_windows_batched)
         else:
             self.decode_windows_ri = jax.jit(
@@ -259,6 +261,8 @@ class DeviceDecoder:
                         hop=cfg.spb // 2)
         sm = smoothed_snr_spectrum(ps, hpbm=cfg.hpbm, m=cfg.fft_size // 2)
         valid, if0, snr = self._peaks(sm)
+        if self.truncate_stage == "post_peaks":
+            return {"_t": if0.sum().astype(jnp.float32) + snr.sum()}
         syncgrid = coarse_score_grid(ps, if0, self._offsets, self._sign)
         best, best_idx = select_best(syncgrid, self._is_nl,
                                      threshold=float(cfg.threshold))
@@ -272,6 +276,9 @@ class DeviceDecoder:
         mode = jnp.where(jnp.asarray(self._is_nl)[mm], 1, 0).astype(jnp.int32)
         drift = jnp.asarray(self._model_drift)[mm]
         slm_params = jnp.asarray(self._model_slm)[mm]
+        if self.truncate_stage == "post_coarse":
+            return {"_t": freq.sum() + shift.sum() + snr.sum()
+                    + drift.sum()}
 
         # ---- staged fine sync (mirrors demod.finesync.FineSync.refine).
         # One shared aligned window per candidate serves every stage; only
@@ -487,6 +494,8 @@ class DeviceDecoder:
         in ONE cross-window two-phase batch, so the while_loop dispatch
         cost is paid per batch, not per window."""
         pre = jax.vmap(self._prefano_ri)(ris)
+        if "_t" in pre:                     # truncated profiling program
+            return pre["_t"].sum()
         if self.fano_mode == "host":
             return jax.vmap(self._pack_prefano)(pre)
         return self._pack(self._fano_select_batch(pre))

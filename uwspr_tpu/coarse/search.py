@@ -192,15 +192,34 @@ def detect_peaks(smspec: np.ndarray, cfg: CoarseConfig
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_lags",))
+@functools.partial(jax.jit, static_argnames=("n_lags", "impl"))
 def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
                       offsets: jnp.ndarray, sync_sign: jnp.ndarray,
-                      *, n_lags: int = 26) -> jnp.ndarray:
+                      *, n_lags: int = 26, impl: str = "einsum") -> jnp.ndarray:
     """Score sync correlation over (candidate, freq+/-2, lag, model).
 
     ps: (n, size) power; if0: (C,) candidate center bins;
     offsets: (M, 162) int32; sync_sign: (162,) +/-1.
     Returns sync (C, 5, n_lags, M) = ss/pow in float32.
+
+    ss[w, m, f] = sum_k sign[k] * A[w + 2k, f + offs[m, k]].  Two impls,
+    identical math up to f32 summation order:
+
+    - ``impl="einsum"`` contracts an im2col gather XA[w,k,d,f] = A[w+2k,
+      f+d] against a one-hot (symbol, shift) weight matrix.  Its f32
+      rounding reproduces the loop oracle's selection on knife-edge
+      near-ties (the golden VE3EMB window has cells tied to < 5e-8
+      relative, where the strict ``v > best`` update rule makes selection
+      ulp-sensitive) — so this is the host/CoarseSearch default.
+    - ``impl="conv"`` evaluates the same sum as a 2-D correlation of the
+      A/B kernel planes with the per-model stencil: one
+      conv_general_dilated with row dilation 2 (the half-symbol lag
+      stride) per plane.  The einsum's im2col materializes
+      26x-duplicated ~1.8 GB row-gather copies per 128-window batch
+      (~0.7 ms/window on v5e); the conv reads A/B directly.  Its
+      accumulation order differs by ~1 ulp, which can resolve float-noise
+      ties differently — used by the batched device pipeline, whose TPU
+      numerics already diverge from the CPU oracle (bf16 matmuls).
     """
     n, size = ps.shape
     r = jnp.sqrt(ps)                                       # (n, size)
@@ -209,27 +228,41 @@ def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
     # powersum kernels at every (row, bin): A = sync metric, B = total power
     A = (pad[:, f - 1] + pad[:, f + 3]) - (pad[:, f - 3] + pad[:, f + 1])
     B = pad[:, f - 3] + pad[:, f - 1] + pad[:, f + 1] + pad[:, f + 3]
-    # shifted copies: S[row, d, f] = X[row, f + d + _D_MIN]
-    padA = jnp.pad(A, ((0, 0), (_N_SHIFTS, _N_SHIFTS)))
-    padB = jnp.pad(B, ((0, 0), (_N_SHIFTS, _N_SHIFTS)))
-    d = jnp.arange(_N_SHIFTS)[None, :, None]
-    fidx = jnp.arange(size)[None, None, :] + d + (_D_MIN + _N_SHIFTS)
-    SA = jnp.take_along_axis(padA[:, None, :], fidx, axis=2)   # (n, D, size)
-    SB = jnp.take_along_axis(padB[:, None, :], fidx, axis=2)
-    # gather rows kidx = k0 + 2k  -> (lags, 162, D, size)
-    k0 = jnp.arange(n_lags)[:, None]
-    kidx = k0 + 2 * jnp.arange(162)[None, :]
-    XA = SA[kidx]                                          # (w, k, D, size)
-    XB = SB[kidx]
-    # one-hot model weights over (symbol, shift)
-    M = offsets.shape[0]
     onehot = jax.nn.one_hot(offsets - _D_MIN, _N_SHIFTS, dtype=jnp.float32)
-    W_ss = onehot * sync_sign[None, :, None].astype(jnp.float32)   # (M, k, D)
-    W_pw = onehot
-    ss = jnp.einsum("mkd,wkdf->wmf", W_ss, XA,
-                    preferred_element_type=jnp.float32)
-    pw = jnp.einsum("mkd,wkdf->wmf", W_pw, XB,
-                    preferred_element_type=jnp.float32)
+    if impl == "conv":
+        # explicit zero pad keeps the documented edge rule: shifts that
+        # read outside the f grid contribute zero
+        Ax = jnp.pad(A, ((0, 0), (_D_MAX, -_D_MIN)))[None, None]
+        Bx = jnp.pad(B, ((0, 0), (_D_MAX, -_D_MIN)))[None, None]
+        K_ss = (onehot * sync_sign[None, :, None].astype(jnp.float32)
+                )[:, None]                                 # (M, 1, 162, D)
+        K_pw = onehot[:, None]
+        dn = jax.lax.conv_dimension_numbers(Ax.shape, K_ss.shape,
+                                            ("NCHW", "OIHW", "NCHW"))
+        conv = functools.partial(
+            jax.lax.conv_general_dilated, window_strides=(1, 1),
+            padding="VALID", rhs_dilation=(2, 1), dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+        ss = conv(Ax, K_ss)[0, :, :n_lags].transpose(1, 0, 2)  # (w, m, f)
+        pw = conv(Bx, K_pw)[0, :, :n_lags].transpose(1, 0, 2)
+    else:
+        # shifted copies: S[row, d, f] = X[row, f + d + _D_MIN]
+        padA = jnp.pad(A, ((0, 0), (_N_SHIFTS, _N_SHIFTS)))
+        padB = jnp.pad(B, ((0, 0), (_N_SHIFTS, _N_SHIFTS)))
+        d = jnp.arange(_N_SHIFTS)[None, :, None]
+        fidx = jnp.arange(size)[None, None, :] + d + (_D_MIN + _N_SHIFTS)
+        SA = jnp.take_along_axis(padA[:, None, :], fidx, axis=2)  # (n,D,size)
+        SB = jnp.take_along_axis(padB[:, None, :], fidx, axis=2)
+        # gather rows kidx = k0 + 2k  -> (lags, 162, D, size)
+        k0 = jnp.arange(n_lags)[:, None]
+        kidx = k0 + 2 * jnp.arange(162)[None, :]
+        XA = SA[kidx]                                      # (w, k, D, size)
+        XB = SB[kidx]
+        W_ss = onehot * sync_sign[None, :, None].astype(jnp.float32)
+        ss = jnp.einsum("mkd,wkdf->wmf", W_ss, XA,
+                        preferred_element_type=jnp.float32)
+        pw = jnp.einsum("mkd,wkdf->wmf", onehot, XB,
+                        preferred_element_type=jnp.float32)
     # per-candidate frequency gather: ifr = if0 + (-2..2)
     ifr = if0[:, None] + jnp.arange(-2, 3)[None, :]        # (C, 5)
     ss_c = ss[:, :, ifr]                                   # (w, m, C, 5)

@@ -204,8 +204,14 @@ def make_shared_probe(z: jnp.ndarray, center: jnp.ndarray):
     start_min = center.astype(jnp.int32) + _PAD - _REACH
     base = jnp.clip((start_min // 256) * 256, 0,
                     zp.shape[0] - (_FRAME + _W))
-    A = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(zp, (s,), (_FRAME + _W,)))(base)
+    # base is 256-aligned, so the per-candidate slice is a gather of
+    # whole 256-sample blocks. A vmapped dynamic_slice here lowers to a
+    # serial while-loop over (window, candidate) pairs on TPU (~0.4
+    # ms/window); the block-row gather below is one vectorized gather.
+    nblk = -(-zp.shape[0] // 256)
+    zblk = jnp.pad(zp, (0, nblk * 256 - zp.shape[0])).reshape(nblk, 256)
+    rows = base[:, None] // 256 + jnp.arange((_FRAME + _W) // 256)[None, :]
+    A = zblk[rows].reshape(C, _FRAME + _W)
     blocks = [A[:, 256 * j: 256 * j + _FRAME].reshape(C, 162, 256)
               for j in range(_W // 256)]
     return jnp.concatenate(blocks, axis=2), base

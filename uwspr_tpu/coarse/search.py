@@ -192,10 +192,11 @@ def detect_peaks(smspec: np.ndarray, cfg: CoarseConfig
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_lags", "impl"))
+@functools.partial(jax.jit, static_argnames=("n_lags", "impl", "f_window"))
 def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
                       offsets: jnp.ndarray, sync_sign: jnp.ndarray,
-                      *, n_lags: int = 26, impl: str = "einsum") -> jnp.ndarray:
+                      *, n_lags: int = 26, impl: str = "einsum",
+                      f_window: tuple[int, int] | None = None) -> jnp.ndarray:
     """Score sync correlation over (candidate, freq+/-2, lag, model).
 
     ps: (n, size) power; if0: (C,) candidate center bins;
@@ -220,6 +221,14 @@ def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
       accumulation order differs by ~1 ulp, which can resolve float-noise
       ties differently — used by the batched device pipeline, whose TPU
       numerics already diverge from the CPU oracle (bf16 matmuls).
+
+    ``f_window=(lo, hi)`` (conv impl only) restricts scoring to absolute
+    spectrum columns [lo, hi).  Candidates only ever gather columns within
+    the passband +/-2, and the conv kernel reaches +/-_D_MAX further, so a
+    caller that knows the passband can pass lo = m - hpbm - 2 - _D_MAX,
+    hi = m + hpbm + 2 + _D_MAX and skip scoring the other ~90% of the 512
+    columns (the reference scans only the passband too, FDR_impl.cc:330).
+    Columns outside [0, size) keep the zero-contribution edge rule.
     """
     n, size = ps.shape
     r = jnp.sqrt(ps)                                       # (n, size)
@@ -229,7 +238,14 @@ def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
     A = (pad[:, f - 1] + pad[:, f + 3]) - (pad[:, f - 3] + pad[:, f + 1])
     B = pad[:, f - 3] + pad[:, f - 1] + pad[:, f + 1] + pad[:, f + 3]
     onehot = jax.nn.one_hot(offsets - _D_MIN, _N_SHIFTS, dtype=jnp.float32)
+    lo = 0
     if impl == "conv":
+        if f_window is not None:
+            # gathered columns must lie in [lo+_D_MAX, hi-_D_MAX) (or at a
+            # clamped 0/size boundary, where the zero rule applies anyway)
+            lo, hi = max(f_window[0], 0), min(f_window[1], size)
+            A = A[:, lo:hi]
+            B = B[:, lo:hi]
         # explicit zero pad keeps the documented edge rule: shifts that
         # read outside the f grid contribute zero
         Ax = jnp.pad(A, ((0, 0), (_D_MAX, -_D_MIN)))[None, None]
@@ -264,7 +280,7 @@ def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
         pw = jnp.einsum("mkd,wkdf->wmf", onehot, XB,
                         preferred_element_type=jnp.float32)
     # per-candidate frequency gather: ifr = if0 + (-2..2)
-    ifr = if0[:, None] + jnp.arange(-2, 3)[None, :]        # (C, 5)
+    ifr = if0[:, None] + jnp.arange(-2, 3)[None, :] - lo   # (C, 5)
     ss_c = ss[:, :, ifr]                                   # (w, m, C, 5)
     pw_c = pw[:, :, ifr]
     sync = ss_c / pw_c

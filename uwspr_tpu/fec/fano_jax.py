@@ -63,12 +63,28 @@ def fano_decode_batch_jax(symbols: jnp.ndarray,
     y0 = symbols[:, 0::2]                      # (L, nbits)
     y1 = symbols[:, 1::2]
     m = mettab.astype(jnp.int32)               # (2, 256)
+    # Table lookups m[b][y] as a one-hot matmul: a 256-entry scalar gather
+    # over L*nbits indices runs ~15x slower on TPU than the MXU contraction
+    # (measured 84 ms vs a few ms per 26k-lane batch). Exactness: each
+    # output row is a dot with exactly one nonzero (1.0) term, and
+    # precision=HIGHEST makes f32 products/sums exact for integer table
+    # values < 2^24 — the result is bit-identical to the gather.
+    yy = jnp.stack([y0, y1])                   # (2, L, nbits)
+    oh = jax.nn.one_hot(yy.reshape(-1), 256, dtype=jnp.float32)
+    mt = jax.lax.dot_general(
+        oh, m.astype(jnp.float32).T,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    mt = mt.reshape(2, L, nbits, 2)
+    m0y0, m1y0 = mt[0, ..., 0], mt[0, ..., 1]
+    m0y1, m1y1 = mt[1, ..., 0], mt[1, ..., 1]
     # metrics[l, k, j]: j = (poly1_bit<<1)|poly2_bit
     metrics = jnp.stack([
-        m[0][y0] + m[0][y1],
-        m[0][y0] + m[1][y1],
-        m[1][y0] + m[0][y1],
-        m[1][y0] + m[1][y1],
+        m0y0 + m0y1,
+        m0y0 + m1y1,
+        m1y0 + m0y1,
+        m1y0 + m1y1,
     ], axis=-1)                                # (L, nbits, 4)
 
     lanes = jnp.arange(L)

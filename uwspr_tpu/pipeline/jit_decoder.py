@@ -265,9 +265,13 @@ class DeviceDecoder:
             return {"_t": if0.sum().astype(jnp.float32) + snr.sum()}
         # conv impl: ~0.7 ms/window cheaper than the im2col einsum on v5e;
         # 1-ulp accumulation-order difference is irrelevant here (device
-        # path already diverges from the CPU oracle via bf16 matmuls)
-        syncgrid = coarse_score_grid(ps, if0, self._offsets, self._sign,
-                                     impl="conv")
+        # path already diverges from the CPU oracle via bf16 matmuls).
+        # f_window: candidates only gather passband+/-2 columns, so skip
+        # scoring the rest of the 512-column grid (kernel reach +/-6).
+        m = cfg.fft_size // 2
+        syncgrid = coarse_score_grid(
+            ps, if0, self._offsets, self._sign, impl="conv",
+            f_window=(m - cfg.hpbm - 1 - 6, m + cfg.hpbm + 1 + 6))
         best, best_idx = select_best(syncgrid, self._is_nl,
                                      threshold=float(cfg.threshold))
         Mdim = self._offsets.shape[0]

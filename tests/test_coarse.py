@@ -120,6 +120,35 @@ def test_select_best_event_skip_matches_scan():
         np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
 
+def test_conv_f_window_matches_full_grid():
+    """The passband-restricted conv scoring (f_window) must be bit-identical
+    to the full 512-column conv grid whenever every gathered column
+    (if0 +/- 2) lies at least the kernel reach (+/-6) inside the window —
+    the contract the device decoder relies on to skip ~90% of the grid."""
+    from uwspr_tpu.coarse.search import build_drift_models, coarse_score_grid
+    from uwspr_tpu.protocol.constants import SYNC_VECTOR
+
+    cfg = CoarseConfig()
+    bank = build_drift_models(cfg)
+    rng = np.random.default_rng(3)
+    ps = jnp.asarray(rng.uniform(0.1, 4.0, size=(348, 512)).astype(np.float32))
+    m = cfg.fft_size // 2
+    # candidates across the passband, incl. the extreme peak bins
+    if0 = jnp.asarray(np.array(
+        [m - cfg.hpbm + 1, m - 3, m, m + 5, m + cfg.hpbm - 2], np.int32))
+    offs = jnp.asarray(bank.offsets)
+    sign = jnp.asarray(2.0 * SYNC_VECTOR.astype(np.float32) - 1.0)
+    full = coarse_score_grid(ps, if0, offs, sign, impl="conv")
+    win = coarse_score_grid(
+        ps, if0, offs, sign, impl="conv",
+        f_window=(m - cfg.hpbm - 1 - 6, m + cfg.hpbm + 1 + 6))
+    np.testing.assert_array_equal(np.asarray(win), np.asarray(full))
+    # an out-of-range window clamps to [0, size) and stays exact
+    clamped = coarse_score_grid(ps, if0, offs, sign, impl="conv",
+                                f_window=(-17, 4096))
+    np.testing.assert_array_equal(np.asarray(clamped), np.asarray(full))
+
+
 def test_golden_c2_candidate(searcher, reference_examples):
     from uwspr_tpu.io.c2file import read_c2
     c2 = read_c2(reference_examples / "VE3EMB.c2")

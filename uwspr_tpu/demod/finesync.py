@@ -191,29 +191,47 @@ _FRAME = 162 * 256
 _REACH = 224            # max |lag - center| across all stages (128+32+64)
 
 
-def make_shared_probe(z: jnp.ndarray, center: jnp.ndarray):
-    """(N,) complex z + (C,) int32 coarse shifts -> (Amat (C,162,_W) complex,
+def make_shared_probe(z: jnp.ndarray, center: jnp.ndarray, *,
+                      reach: int = _REACH, W: int = _W, block: int = 256):
+    """(N,) complex z + (C,) int32 lag centers -> (Amat (C,162,W) complex,
     base (C,) int32 absolute padded start).
 
     Amat[c, i, j'] = zp[base_c + 256*i + j']: overlapped 512-stride rows
-    covering every probe lag within center +/- _REACH.
+    covering every probe lag within center +/- reach.  base is aligned to
+    ``block`` samples, so the window must absorb the probe span plus the
+    alignment slack: W >= 2*reach + 256 + (block - 1), W % 128 == 0.
+    Narrower stage-local windows matter because every downstream pass
+    (derotation, masked-bank einsum) is HBM-bound in W.
     """
+    assert W % 128 == 0 and W % block == 0, (W, block)
+    assert W >= 2 * reach + 256 + (block - 1), (W, reach, block)
     N = z.shape[0]
     C = center.shape[0]
-    zp = jnp.pad(z, (_PAD, _PAD + _W)).at[_PAD].set(0)
-    start_min = center.astype(jnp.int32) + _PAD - _REACH
-    base = jnp.clip((start_min // 256) * 256, 0,
-                    zp.shape[0] - (_FRAME + _W))
-    # base is 256-aligned, so the per-candidate slice is a gather of
-    # whole 256-sample blocks. A vmapped dynamic_slice here lowers to a
-    # serial while-loop over (window, candidate) pairs on TPU (~0.4
-    # ms/window); the block-row gather below is one vectorized gather.
-    nblk = -(-zp.shape[0] // 256)
-    zblk = jnp.pad(zp, (0, nblk * 256 - zp.shape[0])).reshape(nblk, 256)
-    rows = base[:, None] // 256 + jnp.arange((_FRAME + _W) // 256)[None, :]
-    A = zblk[rows].reshape(C, _FRAME + _W)
-    blocks = [A[:, 256 * j: 256 * j + _FRAME].reshape(C, 162, 256)
-              for j in range(_W // 256)]
+    zp = jnp.pad(z, (_PAD, _PAD + W)).at[_PAD].set(0)
+    start_min = center.astype(jnp.int32) + _PAD - reach
+    base = jnp.clip((start_min // block) * block, 0,
+                    zp.shape[0] - (_FRAME + W))
+    # base is block-aligned, so the per-candidate slice is a gather of
+    # whole blocks. A vmapped dynamic_slice here lowers to a serial
+    # while-loop over (window, candidate) pairs on TPU (~0.4 ms/window);
+    # the block-row gather below is one vectorized gather.
+    nblk = -(-zp.shape[0] // block)
+    zblk = jnp.pad(zp, (0, nblk * block - zp.shape[0])).reshape(nblk, block)
+    rows = base[:, None] // block + jnp.arange((_FRAME + W) // block)[None, :]
+    A = zblk[rows].reshape(C, _FRAME + W)
+    # overlapped rows: columns [o, o+n) of row i live at
+    # A[:, o + 256*i : o + 256*i + n]. Each sub-block slice materializes a
+    # full (C, _FRAME) frame copy, so emit 256-wide sub-blocks (fully kept)
+    # wherever possible and a half-kept 128-wide one only for a remainder.
+    blocks, off = [], 0
+    while off < W:
+        blk = A[:, off: off + _FRAME].reshape(C, 162, 256)
+        if W - off >= 256:
+            blocks.append(blk)
+            off += 256
+        else:
+            blocks.append(blk[:, :, :128])
+            off += 128
     return jnp.concatenate(blocks, axis=2), base
 
 
@@ -238,9 +256,14 @@ def phasor_ramp(theta: jnp.ndarray, W: int) -> jnp.ndarray:
 
 
 def probe_derotate(Amat: jnp.ndarray, drift_sym: jnp.ndarray) -> jnp.ndarray:
-    """Apply the per-symbol drift phasor at the aligned index j'."""
+    """Apply the per-symbol drift phasor at the aligned index j'.
+
+    Evaluating at the window-local index (not the absolute sample index)
+    rotates each (candidate, symbol) row by a constant unit phasor, which
+    factors out of every per-row correlation — only |corr| is consumed.
+    """
     theta = (-2.0 * jnp.pi * _DT) * drift_sym
-    return Amat * phasor_ramp(theta, _W)
+    return Amat * phasor_ramp(theta, Amat.shape[-1])
 
 
 def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
@@ -257,11 +280,12 @@ def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
     Measured only ~7% faster on v5e (the stage is bank-construction/
     HBM-bound, not MXU-bound), so "f32" remains the default."""
     C, F = freqs.shape
-    jpf = jnp.arange(_W, dtype=jnp.float32)
-    b = jnp.clip(lags.astype(jnp.int32) + _PAD - base[:, None], 0, _W - 256)
+    W = zd.shape[-1]
+    jpf = jnp.arange(W, dtype=jnp.float32)
+    b = jnp.clip(lags.astype(jnp.int32) + _PAD - base[:, None], 0, W - 256)
     ft = freqs[..., None] + jnp.asarray(_TONES_HZ)                # (C, F, 4)
-    bank = phasor_ramp((-2.0 * jnp.pi * _DT) * ft, _W
-                       ).reshape(C, 1, 4 * F, _W)
+    bank = phasor_ramp((-2.0 * jnp.pi * _DT) * ft, W
+                       ).reshape(C, 1, 4 * F, W)
     mask = ((jpf[None, None, :] >= b[..., None])
             & (jpf[None, None, :] < b[..., None] + 256)
             ).astype(jnp.float32)                                 # (C, L, W)

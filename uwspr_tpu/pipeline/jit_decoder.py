@@ -230,13 +230,6 @@ class DeviceDecoder:
             slm_params[:, 3:4], float(self.config.coarse.cf), t[None, :])
         return jnp.where((mode == 1)[:, None], nl, lin).astype(jnp.float32)
 
-    @staticmethod
-    def _first_argmax(sync):
-        C, F, L = sync.shape
-        flat = sync.reshape(C, -1)
-        idx = jnp.argmax(flat, axis=1)
-        return idx // L, idx % L
-
     # -- the full device program ------------------------------------------
 
     def _decode_window_ri(self, ri: jnp.ndarray) -> dict:
@@ -289,62 +282,74 @@ class DeviceDecoder:
                     + drift.sum()}
 
         # ---- staged fine sync (mirrors demod.finesync.FineSync.refine).
-        # One shared aligned window per candidate serves every stage; only
-        # the derotation (4 drift variants max) and the masked tone bank
-        # change between stages.
+        # Every pass over a (C, 162, W) derotated window is HBM-bound in W,
+        # so each stage group gets the narrowest window its probe reach
+        # allows, and consecutive (lag, freq) stages are evaluated as ONE
+        # joint grid — the reference's sequential stage order is reproduced
+        # exactly by *indexing* the joint grid (lag argmax along the
+        # original-frequency row, then freq argmax along the chosen-lag
+        # column), since stage k's probes are a subset of the grid.
         f1 = freq.astype(jnp.float32)
         shift1 = shift
         drift1 = drift
         dsym = self._drift_offsets(mode, drift1, slm_params)
-        Amat, base = make_shared_probe(z, shift1)
-        zd = probe_derotate(Amat, dsym)
 
+        # phase A: window covering the coarse-lag reach (+/-128)
+        Amat1, base1 = make_shared_probe(z, shift1, reach=128, W=768)
+        zd1 = probe_derotate(Amat1, dsym)
         lag_grid = shift1[:, None] + jnp.arange(-128, 129, 64)[None, :]
-        s = spe(zd, base, lag_grid.astype(jnp.int32),
-                              f1[:, None], n_lags=5)
-        _, li = self._first_argmax(s)
-        shift1 = lag_grid[cidx, li].astype(jnp.int32)
-        sync1 = s[cidx, 0, li]
-
         freq_grid = f1[:, None] + (jnp.arange(-2, 3) * 0.25)[None, :]
-        s = spe(zd, base, shift1[:, None],
-                              freq_grid.astype(jnp.float32), n_lags=1)
-        fi2, _ = self._first_argmax(s)
+        s = spe(zd1, base1, lag_grid.astype(jnp.int32),
+                freq_grid.astype(jnp.float32), n_lags=5)          # (C, 5, 5)
+        li = jnp.argmax(s[:, 2, :], axis=1)           # stage 0: lag @ f0
+        shift1 = lag_grid[cidx, li].astype(jnp.int32)
+        fi2 = jnp.argmax(s[cidx, :, li], axis=1)      # stage 1: freq @ lag
         f1 = freq_grid[cidx, fi2].astype(jnp.float32)
-        sync1 = s[cidx, fi2, 0]
+        sync1 = s[cidx, fi2, li]
 
+        # phase B: window centered on the refined lag; reach 96 covers the
+        # fine-lag (+/-32) and jiggle (+/-64) probes, block=128 alignment
+        Amat2, base2 = make_shared_probe(z, shift1, reach=96, W=640,
+                                         block=128)
+        # drift +/-0.5 probes read a single per-symbol 256-sample window;
+        # any candidate's window start b lies in [96, 224), so derotating
+        # the static 384-column slice [96, 480) covers every probe at ~60%
+        # of the full-width cost per probe
+        Amat2d = Amat2[:, :, 96:480]
+        base2d = base2 + 96
         is_lin = mode != 1
         driftp = drift1 + 0.5
         driftm = drift1 - 0.5
         sp = spe(
-            probe_derotate(Amat, self._drift_offsets(mode, driftp,
-                                                     slm_params)),
-            base, shift1[:, None], f1[:, None], n_lags=1)[:, 0, 0]
+            probe_derotate(Amat2d, self._drift_offsets(mode, driftp,
+                                                       slm_params)),
+            base2d, shift1[:, None], f1[:, None], n_lags=1)[:, 0, 0]
         sm_ = spe(
-            probe_derotate(Amat, self._drift_offsets(mode, driftm,
-                                                     slm_params)),
-            base, shift1[:, None], f1[:, None], n_lags=1)[:, 0, 0]
+            probe_derotate(Amat2d, self._drift_offsets(mode, driftm,
+                                                       slm_params)),
+            base2d, shift1[:, None], f1[:, None], n_lags=1)[:, 0, 0]
         updp = is_lin & (sp > sync1)
         updm = is_lin & ~updp & (sm_ > sync1)
         drift1 = jnp.where(updp, driftp, jnp.where(updm, driftm, drift1))
         sync1 = jnp.where(updp, sp, jnp.where(updm, sm_, sync1))
         dsym = self._drift_offsets(mode, drift1, slm_params)
-        zd = probe_derotate(Amat, dsym)
+        zd2 = probe_derotate(Amat2, dsym)
 
+        # joint fine (freq x lag) grid; gated stage-order selection
         worth = sync1 > dcfg.minsync1
         lag_grid = shift1[:, None] + jnp.arange(-32, 33, 16)[None, :]
-        s = spe(zd, base, lag_grid.astype(jnp.int32),
-                              f1[:, None], n_lags=5)
-        _, li = self._first_argmax(s)
-        shift1 = jnp.where(worth, lag_grid[cidx, li], shift1).astype(jnp.int32)
-        sync1 = jnp.where(worth, s[cidx, 0, li], sync1)
-
         freq_grid = (f1[:, None] + (jnp.arange(-2, 3) * 0.05)[None, :]
                      ).astype(jnp.float32)
-        s = spe(zd, base, shift1[:, None], freq_grid, n_lags=1)
-        fi2, _ = self._first_argmax(s)
+        s = spe(zd2, base2, lag_grid.astype(jnp.int32), freq_grid,
+                n_lags=5)                                         # (C, 5, 5)
+        li = jnp.argmax(s[:, 2, :], axis=1)
+        shift1 = jnp.where(worth, lag_grid[cidx, li], shift1).astype(jnp.int32)
+        # fine freq evaluates at the post-fine-lag shift: chosen-lag column
+        # if the lag update fired, the center column (original shift) if not
+        li = jnp.where(worth, li, 2)
+        fi2 = jnp.argmax(s[cidx, :, li], axis=1)
         f1 = jnp.where(worth, freq_grid[cidx, fi2], f1).astype(jnp.float32)
-        sync1 = jnp.where(worth, s[cidx, fi2, 0], sync1)
+        sync1 = jnp.where(worth, s[cidx, fi2, li], sync1)
         worth = worth & valid
         if self.truncate_stage == "post_refine":
             return {"_t": sync1.sum() + f1.sum() + shift1.sum()
@@ -353,7 +358,7 @@ class DeviceDecoder:
         # ---- soft symbols over all jiggles ----
         J = dcfg.n_jiggles
         lag_grid = shift1[:, None] + self._jiggles[None, :]
-        sync2, p = spe(zd, base, lag_grid.astype(jnp.int32),
+        sync2, p = spe(zd2, base2, lag_grid.astype(jnp.int32),
                                      f1[:, None], n_lags=J,
                                      want_symbols=True)
         sync2 = sync2[:, 0, :]                                # (C, J)

@@ -113,6 +113,24 @@ def test_select_best_event_skip_matches_scan():
     nan_case = rng.normal(size=(2, 5, 26, M)).astype(np.float32)
     nan_case[0, 2, 3, :] = np.nan
     cases.append(nan_case)
+    # all-NaN nonlinear columns in later groups with a positive running
+    # best: the group-extreme prescreen may flag such groups (inf ratio)
+    # and must recover via a barren rescan without accepting anything
+    nl = np.asarray(is_nl)
+    nn = np.full((2, 5, 26, M), 0.01, np.float32)
+    nn[0, 0, 0, 0] = 3.0            # linear seed, best > 0
+    nn[:, 1:, :, :][..., nl] = np.nan
+    nn[1, 2, 5, 3] = np.nan
+    cases.append(nn)
+    # the reference's negative-ratio quirk makes best DECREASE: a negative
+    # nonlinear score with ratio > threshold replaces a larger negative
+    # best, re-enabling later linear acceptances
+    dec = np.full((1, 5, 26, M), -100.0, np.float32)
+    dec[0, 0, 0, 0] = -5.0          # linear: best -1e30 -> -5
+    dec[0, 0, 2, 1] = -80.0         # nl: -80/-5 = 16 > 10 -> best -80
+    dec[0, 0, 4, 3] = -60.0         # linear: -60 > -80 -> best -60
+    dec[0, 1, 3, 0] = -50.0         # linear in a later group
+    cases.append(dec)
     for sync in cases:
         b1, i1 = select_best(jnp.asarray(sync), is_nl, threshold=10.0)
         b2, i2 = select_best_scan(jnp.asarray(sync), is_nl, threshold=10.0)

@@ -332,46 +332,79 @@ def select_best_scan(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
 def select_best(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
                 *, threshold: float) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Reproduce the reference's order-dependent best-model selection
-    (FDR_impl.cc:344-405) by event skipping instead of a serial fold.
+    (FDR_impl.cc:344-405) by group-skipping instead of a serial fold.
 
-    Between update events the running best is constant, so the next event
-    is exactly the first step t >= t_cur whose accept predicate passes
-    against the CURRENT best (linear: v > best; nonlinear: v/best >
-    threshold, float division kept verbatim — including its behavior for
-    negative running maxima). Each while_loop round finds that step for
-    every candidate at once with a vectorized mask + argmax; rounds =
-    number of update events (~O(log steps) for real spectra) instead of a
-    16k-step serial scan.
+    The grid is walked in (freq, lag, model) order; between update events
+    the running best is constant, so acceptance can be tested per
+    (freq, lag) GROUP of M model scores using only each group's extreme
+    values: a linear step accepts iff v > best, so some step in the group
+    accepts iff lin_max > best (the max is itself an element); a nonlinear
+    step accepts iff v/best > threshold (division kept verbatim), and
+    because f32 division is monotone in the numerator for any fixed
+    denominator — including the best<0 start and the signed-zero /
+    infinity edge cases — the extreme ratio over a group is attained at
+    nl_max or nl_min. Each while_loop round fine-scans the (C, M) current
+    group with the exact predicate and then jumps every lane straight to
+    its next acceptable group via the (C, G) extreme tables: the
+    16380-step serial scan becomes ~2 events' worth of rounds over
+    M+G-sized arrays (~60x less traffic per round than masking the full
+    grid). NaN scores never accept (NaN comparisons are false), so they
+    are excluded from the extreme tables.
 
     sync: (C, 5, W, M) scores in evaluation order (freq, lag, model).
     Returns (best_sync (C,), best_flat_index (C,)).
     """
     C = sync.shape[0]
-    flat = sync.reshape(C, -1)                             # (C, steps)
-    n_steps = flat.shape[1]
     Mdim = sync.shape[3]
-    step_is_nl = jnp.tile(is_nonlinear, n_steps // Mdim)[None, :]
-    t_idx = jnp.arange(n_steps, dtype=jnp.int32)[None, :]
-
-    def next_event(best, t_cur):
-        ratio = flat / best[:, None]
-        accept = jnp.where(step_is_nl, ratio > threshold,
-                           flat > best[:, None])
-        mask = accept & (t_idx >= t_cur[:, None])
-        e = jnp.argmax(mask, axis=1).astype(jnp.int32)     # first True
-        return jnp.any(mask, axis=1), e
+    flat = sync.reshape(C, -1)                             # (C, steps)
+    G = flat.shape[1] // Mdim
+    g3 = flat.reshape(C, G, Mdim)
+    is_nl = is_nonlinear[None, :]                          # (1, M)
+    nan = jnp.isnan(g3)
+    ninf, pinf = jnp.float32(-jnp.inf), jnp.float32(jnp.inf)
+    lin_max = jnp.where(is_nl[:, None] | nan, ninf, g3).max(axis=2)  # (C,G)
+    nl_max = jnp.where(~is_nl[:, None] | nan, ninf, g3).max(axis=2)
+    nl_min = jnp.where(~is_nl[:, None] | nan, pinf, g3).min(axis=2)
+    any_nl = jnp.any(is_nonlinear)
+    g_idx = jnp.arange(G, dtype=jnp.int32)[None, :]
+    m_idx = jnp.arange(Mdim, dtype=jnp.int32)[None, :]
+    cidx = jnp.arange(C)
 
     def cond(state):
-        best, best_idx, t_cur, active = state
-        return jnp.any(active)
+        return jnp.any(state[3])
 
     def body(state):
-        best, best_idx, t_cur, _ = state
-        has, e = next_event(best, t_cur)
-        best = jnp.where(has, flat[jnp.arange(C), e], best)
-        best_idx = jnp.where(has, e, best_idx)
-        t_cur = jnp.where(has, e + 1, t_cur)
-        return best, best_idx, t_cur, has
+        # every update is gated on `act`: the loop runs until ALL lanes
+        # finish, and best may legally DECREASE across events (the
+        # reference's negative-ratio quirk), so a finished lane must not
+        # re-scan — the body has to be idempotent for inactive lanes
+        best, best_idx, t_cur, act = state
+        g_cur = t_cur // Mdim
+        off = t_cur - g_cur * Mdim
+        # exact fine scan of the current group from offset `off`
+        row = jnp.take_along_axis(g3, g_cur[:, None, None], axis=1)[:, 0]
+        accept = jnp.where(is_nl, (row / best[:, None]) > threshold,
+                           row > best[:, None])
+        accept = accept & (m_idx >= off[:, None])
+        has_e = jnp.any(accept, axis=1) & act
+        e = jnp.argmax(accept, axis=1).astype(jnp.int32)   # first True
+        best = jnp.where(has_e, row[cidx, e], best)
+        best_idx = jnp.where(has_e, g_cur * Mdim + e, best_idx)
+        # a hit rescans the same group against the new best next round; a
+        # miss jumps to the first LATER group whose extremes can accept
+        # (nl flags may rarely be a superset — e.g. all-NaN nl columns
+        # with best > 0 — which only costs a barren rescan, never a miss)
+        rl = lin_max > best[:, None]
+        rn = (((nl_max / best[:, None]) > threshold)
+              | ((nl_min / best[:, None]) > threshold)) & any_nl
+        gmask = (rl | rn) & (g_idx > g_cur[:, None])
+        has_g = jnp.any(gmask, axis=1)
+        g_next = jnp.argmax(gmask, axis=1).astype(jnp.int32)
+        t_cur = jnp.where(
+            act, jnp.where(has_e, g_cur * Mdim + e + 1, g_next * Mdim),
+            t_cur)
+        active = (has_e | has_g) & act
+        return best, best_idx, t_cur, active
 
     init = (jnp.full(C, -1e30, jnp.float32), jnp.zeros(C, jnp.int32),
             jnp.zeros(C, jnp.int32), jnp.ones(C, bool))

@@ -335,6 +335,112 @@ def _cmd_serve(args):
         ht.save(args.hashtable)
 
 
+def _grc_receiver_source(src, cfg, hop, windows_limit):
+    """SourceSpec -> generator of (1, hop) baseband blocks."""
+    if src.kind == "c2":
+        from uwspr_tpu.io.c2file import c2_stream
+        limit = windows_limit * hop if src.repeat else None
+        sent = 0
+        for chunk in c2_stream(src.files[0], repeat=src.repeat,
+                               drift_rate=src.drift_rate, block=hop):
+            if limit is not None and sent >= limit:
+                return
+            sent += len(chunk)
+            yield chunk[None, :]
+        return
+    if src.kind in ("wav", "wav_mix"):
+        from uwspr_tpu.frontend.downconvert import downconvert
+        from uwspr_tpu.io.wavfile import read_wav
+        mixed = None
+        for path, gain in zip(src.files, src.gains):
+            audio, rate = read_wav(path)
+            if rate != cfg.frontend.audio_rate:
+                raise SystemExit(f"{path}: {rate} S/s, flowgraph expects "
+                                 f"{cfg.frontend.audio_rate}")
+            a = audio * np.float32(gain)
+            if mixed is None:
+                mixed = a
+            elif len(a) >= len(mixed):     # repeat-pad the shorter file,
+                mixed = a[:len(mixed)] + mixed  # mirroring GRC repeat=True
+            else:
+                reps = int(np.ceil(len(mixed) / len(a)))
+                mixed = mixed + np.tile(a, reps)[:len(mixed)]
+        z = np.asarray(downconvert(mixed, cfg.frontend))
+        pos, sent = 0, 0
+        while sent < (windows_limit * hop if src.repeat else len(z)):
+            chunk = z[pos % len(z): pos % len(z) + hop]
+            if len(chunk) < hop and src.repeat:
+                chunk = np.concatenate([chunk, z[:hop - len(chunk)]])
+            if len(chunk) == 0:
+                return
+            yield chunk[None, :]
+            pos += len(chunk)
+            sent += len(chunk)
+        return
+    # live audio on stdin (AudioSourceDecode.grc: the soundcard is not a
+    # portable resource; stdin s16 is the framework's live-audio transport)
+    from uwspr_tpu.frontend.downconvert import StreamingDownconverter
+    dc = StreamingDownconverter(cfg.frontend)
+    decim = cfg.frontend.decimation
+    while True:
+        data = sys.stdin.buffer.read(2 * decim * hop)
+        if not data:
+            return
+        audio = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        z = dc.push(audio)
+        if len(z):
+            yield z[None, :]
+
+
+def _cmd_grc(args):
+    """Run a reference GRC flowgraph through the TPU-native pipeline."""
+    import os
+    from uwspr_tpu.grc import classify, describe, parse_grc, pipeline_config
+
+    fg = parse_grc(args.file)
+    files_dir = args.files_dir or os.path.dirname(os.path.abspath(args.file))
+    print(describe(fg, files_dir), file=sys.stderr)
+    if args.show:
+        return
+    kind, src, sink = classify(fg, files_dir)
+    cfg = pipeline_config(fg)
+
+    if kind == "sender":
+        from uwspr_tpu.frontend.downconvert import upconvert
+        from uwspr_tpu.io.c2file import read_c2
+        from uwspr_tpu.io.wavfile import write_wav
+        z = read_c2(src.files[0]).samples
+        audio = upconvert(z, cfg.frontend)
+        out = args.output
+        if out is None and sink and sink.kind == "wav" and sink.file:
+            out = os.path.basename(str(sink.file))  # author's path -> cwd
+        if out is None:
+            raise SystemExit("flowgraph sinks to the soundcard; "
+                             "use -o out.wav")
+        write_wav(out, np.asarray(audio), sink.rate if sink else 12000)
+        print(f"wrote {out}: {len(audio)} samples @ "
+              f"{sink.rate if sink else 12000} S/s")
+        return
+
+    from uwspr_tpu.pipeline.stream import StreamDecoder
+    from uwspr_tpu.protocol.messages import HashTable
+    ht = HashTable.load(args.hashtable) if args.hashtable else HashTable()
+    sd = StreamDecoder(config=cfg, n_channels=1, hashtable=ht,
+                       engine=args.engine)
+    hop = cfg.stream.shift * cfg.stream.fs
+    t0 = time.time()
+    for block in _grc_receiver_source(src, cfg, hop, args.windows):
+        for ch, r in sd.push(block):
+            for s in r.spots:
+                print(f"{s.message}    (freq {s.freq:+.2f} Hz, SNR "
+                      f"{s.snr:.1f} dB)", flush=True)
+    st = sd.stats
+    print(f"# {st.windows} windows, {st.spots} spots in "
+          f"{time.time() - t0:.2f}s", file=sys.stderr)
+    if args.hashtable:
+        ht.save(args.hashtable)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="uwspr",
                                 description="TPU-native WSPR decoder")
@@ -434,6 +540,23 @@ def main(argv=None):
     v.add_argument("--spots", default=None)
     v.add_argument("--allwspr", default=None)
     v.set_defaults(fn=_cmd_serve)
+
+    g = sub.add_parser("grc", help="run a GNU Radio Companion flowgraph "
+                                   "(the reference's .grc files)")
+    g.add_argument("file", help="GRC 3.7 XML flowgraph")
+    g.add_argument("--show", action="store_true",
+                   help="print the parsed mapping and exit")
+    g.add_argument("--files-dir", default=None,
+                   help="directory to resolve the flowgraph's capture files "
+                        "(default: the flowgraph's own directory)")
+    g.add_argument("--windows", type=int, default=30,
+                   help="hop-blocks to stream for repeating sources")
+    g.add_argument("--engine", choices=["auto", "host", "device", "hybrid"],
+                   default="auto")
+    g.add_argument("--hashtable", default=None)
+    g.add_argument("-o", "--output", default=None,
+                   help="sender flowgraphs: output wav path")
+    g.set_defaults(fn=_cmd_grc)
 
     args = p.parse_args(argv)
     _apply_platform(args)

@@ -272,16 +272,14 @@ def _find_file(path: str, files_dir: str | None) -> str:
         f"flowgraph references {path!r}; not found (try --files-dir)")
 
 
-def _gain_through_passives(fg: Flowgraph, src: Block, sink_id: str) -> float:
-    """Accumulate multiply_const gains on the path src -> sink_id."""
+def _gain_through_passives(fg: Flowgraph, src: Block) -> float:
+    """Accumulate multiply_const gains along the passive chain downstream
+    of a source (stops at the first non-passive block — the filter/decode
+    chain is common to all sources, so per-source gain is what matters)."""
     gain, cur, seen = 1.0, src.id, set()
-    while cur != sink_id and cur not in seen:
+    while cur not in seen:
         seen.add(cur)
-        nxt = [d for d in fg.downstream(cur)
-               if d.key in _PASSIVE_KEYS or d.id == sink_id
-               or d.key.startswith(("freq_xlating", "rational_resampler",
-                                    "interp_fir", "blocks_wavfile_sink",
-                                    "audio_sink", "uwspr_"))]
+        nxt = [d for d in fg.downstream(cur) if d.key in _PASSIVE_KEYS]
         if not nxt:
             break
         b = nxt[0]
@@ -305,8 +303,7 @@ def classify(fg: Flowgraph, files_dir: str | None = None
             for w in wavs:
                 files.append(_find_file(str(w.params.get("file", "")),
                                         files_dir))
-                gains.append(_gain_through_passives(
-                    fg, w, "blocks_float_to_complex_0_0"))
+                gains.append(_gain_through_passives(fg, w))
             kind = "wav_mix" if len(files) > 1 else "wav"
             rep = any(bool(w.params.get("repeat")) for w in wavs)
             return "receiver", SourceSpec(kind, files, gains, repeat=rep), None

@@ -13,13 +13,18 @@ Two measurements:
    one channel per device, each channel carrying its own noise and one
    decodable -18 dB frame — identical, independent per-shard work. This
    is the honest weak-scaling curve; spots must equal N.
-2. time-axis collective overhead: mesh (1,N) over an equal-work
-   noise-only stream (a decodable workload cannot be made equal-work per
-   time shard: window starts are hop-spaced, so any full frame lies in
-   ~13 consecutive windows and stacking one frame per shard creates
-   co-channel interference). Decode correctness across time-shard
-   boundaries is proven separately by tests/test_mesh_stream.py; here we
-   only price the chained ppermute + psum against the (N,1) equivalent.
+2. time-axis collective overhead: mesh (1,N), N hop-spaced windows of one
+   continuous stream. ONE decodable frame is embedded at the stream head:
+   its 41,472 samples span every time shard (each shard holds only
+   hop=3,375 samples; the window is reassembled through the chained
+   ppermute halo), so a nonzero spot count certifies the measured path
+   end-to-end. One frame (not one per shard) keeps the work equal — the
+   pre-Fano pipeline is dense regardless of content, and a single gated
+   Fano lane among N windows is negligible skew — while stacking a frame
+   per shard would pile ~13-hop-long frames into the +/-10 Hz passband as
+   co-channel interference. Exhaustive boundary-placement decode parity
+   is tests/test_mesh_stream.py; this harness prices the chained
+   ppermute + psum against the (N,1) equivalent.
 
 Each config runs in its own subprocess with exactly N virtual devices:
 XLA CPU collectives have a hard 40 s rendezvous termination timeout, and
@@ -92,6 +97,14 @@ def run_one(axis: str, n: int, reps: int) -> dict:
             m = min(len(z), total + halo - start)
             x[c, start:start + m] += z[:m]
             frames += 1
+    else:
+        # one frame whose samples span EVERY time shard (each shard holds
+        # hop samples; window 0 reassembles them via the halo chain)
+        z = np.asarray(synthesize_frame(
+            "VE3EMB", "FN25", 30, start_sample=200, freq_offset=1.0))[:fl]
+        m = min(len(z), total + halo)
+        x[0, :m] += z[:m]
+        frames += 1
     stream, tail = x[:, :total], x[:, total:]
 
     t0 = time.time()
@@ -161,7 +174,7 @@ def main():
         "caveat": ("virtual devices share 4 physical cores; n>1 rows "
                    "measure oversubscription, not ICI cost. Real-ICI halo "
                    "per step is {} bytes/channel (~7 us at 45 GB/s) vs "
-                   "~8 ms/window decode on v5e -> expected hardware "
+                   "~2 ms/window decode on v5e -> expected hardware "
                    "efficiency ~100% on both axes.").format(halo_bytes),
         "halo_bytes_per_channel_per_step": halo_bytes,
         "results": results,

@@ -88,6 +88,34 @@ def test_grc_sender_roundtrip(examples, tmp_path):
 
 
 @pytest.mark.slow
+def test_grc_live_audio_receiver(examples, tmp_path):
+    """AudioSourceDecode.grc end-to-end: 12 kS/s s16 audio carrying one
+    frame piped on stdin (the framework's soundcard transport) decodes."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from tests.test_cli import REPO
+    from uwspr_tpu.frontend.downconvert import upconvert
+    from uwspr_tpu.protocol.modulate import synthesize_frame
+
+    z = np.asarray(synthesize_frame("VE3EMB", "FN25", 30, start_sample=750,
+                                    freq_offset=1.5))
+    audio = np.asarray(upconvert(z))                  # 12 kS/s float
+    s16 = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    r = subprocess.run(
+        [sys.executable, "-m", "uwspr_tpu.cli", "--platform", "cpu",
+         "grc", str(examples / "AudioSourceDecode.grc")],
+        input=s16, capture_output=True, timeout=420, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert b"VE3EMB FN25 30" in r.stdout
+
+
+@pytest.mark.slow
 def test_grc_receiver_decodes_through_interference(examples):
     """WaveFilePlusNoiseDecode.grc end-to-end: the WSPR wav at gain 0.1
     mixed with whale song at gain 1.0 must still decode (the reference's

@@ -58,6 +58,11 @@ def _cmd_decode(args):
 
     ht = HashTable.load(args.hashtable) if args.hashtable else HashTable()
     decoder, decode_spots, engine = _make_engine(args, ht)
+    if getattr(args, "passes", 1) > 1:
+        from uwspr_tpu.pipeline.multipass import multipass_spots
+        single_pass = decode_spots
+        decode_spots = lambda w: multipass_spots(  # noqa: E731
+            w, single_pass, decoder.config, passes=args.passes)
     logger = (SpotLogger(args.messagelog, args.jsonl, args.spots,
                          args.allwspr)
               if (args.messagelog or args.jsonl or args.spots
@@ -467,6 +472,12 @@ def main(argv=None):
                         "decoding, like the reference c2file_source")
     d.add_argument("--trace-dir", default=None,
                    help="write an XLA profiler trace (TensorBoard format)")
+    d.add_argument("--passes", type=int, default=1,
+                   help="successive-interference-cancellation passes: "
+                        "decoded frames are re-synthesized at their refined "
+                        "(freq, shift, drift), fitted, subtracted, and the "
+                        "window re-decoded (unmasks weak co-channel frames; "
+                        "the reference has no equivalent)")
     d.add_argument("--all-spots", action="store_true",
                    help="print every (window, candidate) decode instead of "
                         "deduplicating by message+frequency")

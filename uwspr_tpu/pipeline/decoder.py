@@ -46,6 +46,7 @@ class Spot:
     fano_metric: int = 0      # final path metric (reference Fano.cc:240-248)
     fano_cycles: int = 0      # forward-look count consumed
     unpacked: Unpacked | None = None
+    pass_index: int = 0       # multipass: which cancellation pass found it
 
 
 @dataclass

@@ -57,6 +57,16 @@ def test_multipass_unmasks_weak_cochannel_signal():
     assert by_msg[WEAK[3]].pass_index == 1
 
 
+def test_stream_decoder_passes():
+    from uwspr_tpu.pipeline.stream import StreamDecoder
+    z = _masked_scene(seed=100)
+    sd = StreamDecoder(engine="host", passes=2)
+    msgs = {s.message
+            for _, r in sd.push(z)
+            for s in r.spots}
+    assert {STRONG[3], WEAK[3]} <= msgs, msgs
+
+
 def test_multipass_single_signal_no_duplicates():
     rng = np.random.default_rng(7)
     z = awgn(synthesize_frame(*STRONG[:3], start_sample=1200,

@@ -305,7 +305,8 @@ def _cmd_serve(args):
         hop = sd.config.stream.shift * sd.config.stream.fs
     else:
         sd = StreamDecoder(n_channels=channels, hashtable=ht,
-                           engine=args.engine)
+                           engine=args.engine,
+                           passes=getattr(args, "passes", 1))
         hop = sd.windows[0].hop
     logger = (SpotLogger(args.messagelog, args.jsonl, args.spots,
                          args.allwspr)
@@ -538,6 +539,9 @@ def main(argv=None):
                         "batched XLA decode (BatchedStreamDecoder)")
     v.add_argument("--batch", type=int, default=8,
                    help="windows per XLA batch for --runtime native")
+    v.add_argument("--passes", type=int, default=1,
+                   help="interference-cancellation passes per window "
+                        "(python runtime)")
     v.add_argument("--channels", type=int, default=4)
     v.add_argument("--windows", type=int, default=30,
                    help="hop-blocks to stream (first window after 14); "

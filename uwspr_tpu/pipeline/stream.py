@@ -76,8 +76,9 @@ class StreamDecoder:
 
     def __init__(self, config: PipelineConfig | None = None,
                  n_channels: int = 1, hashtable: HashTable | None = None,
-                 engine: str = "auto"):
+                 engine: str = "auto", passes: int = 1):
         self.config = config or PipelineConfig()
+        self.passes = passes
         if engine == "auto":
             import jax
             engine = "device" if jax.default_backend() == "tpu" else "host"
@@ -95,13 +96,33 @@ class StreamDecoder:
                         for _ in range(n_channels)]
         self.stats = StreamStats()
 
-    def _decode(self, window: np.ndarray) -> DecodeResult:
+    def _decode_once(self, window: np.ndarray) -> DecodeResult:
         if self._device is None:
             return self.decoder(window)
         out = self._device(window)
         r = DecodeResult(spots=self._device.spots(out, self.hashtable))
         r.n_candidates = int(out.valid.sum())
         return r
+
+    def _decode(self, window: np.ndarray) -> DecodeResult:
+        if self.passes <= 1:
+            return self._decode_once(window)
+        # successive interference cancellation between passes
+        from uwspr_tpu.pipeline.multipass import multipass_spots
+        meta = {"cand": 0, "fano": 0}
+
+        def decode_fn(z):
+            r = self._decode_once(z)
+            meta["cand"] = max(meta["cand"], r.n_candidates)
+            meta["fano"] += r.n_fano_attempts
+            return r.spots
+
+        spots = multipass_spots(window, decode_fn, self.config,
+                                passes=self.passes)
+        out = DecodeResult(spots=spots)
+        out.n_candidates = meta["cand"]
+        out.n_fano_attempts = meta["fano"]
+        return out
 
     def push(self, samples: np.ndarray) -> list[tuple[int, DecodeResult]]:
         """samples: (n,) or (channels, n). Returns [(channel, result), ...]."""

@@ -123,14 +123,12 @@ def main():
 
     # full program
     t0 = time.perf_counter()
-    out = dec.decode_window_ri(ri)
-    np.asarray(out["success"])
+    np.asarray(dec.decode_window_ri(ri))      # packed (C, 21) array
     print(f"full compile+run: {time.perf_counter() - t0:.1f} s", flush=True)
     t0 = time.perf_counter()
     reps = 10
     for _ in range(reps):
-        out = dec.decode_window_ri(ri)
-        np.asarray(out["success"])
+        np.asarray(dec.decode_window_ri(ri))
     t_full = (time.perf_counter() - t0) / reps
     print(f"{'full':>18}: {t_full * 1000:7.1f} ms", flush=True)
 

@@ -96,6 +96,26 @@ def test_batched_stream_decoder_end_to_end():
     assert dec.stats.windows == ref.stats.windows
 
 
+def test_batched_stream_decoder_default_batch_can_fill():
+    """The ring must hold a full batch of ready windows.  Regression: with
+    the default batch_windows=32 a capacity-2 ring saturated at 14 ready
+    windows, so push() (which drains only complete batches) never fired
+    and samples were silently dropped forever."""
+    dec = BatchedStreamDecoder(n_channels=1)             # batch_windows=32
+    scfg = dec.config.stream
+    hop = scfg.shift * scfg.fs
+    rng = np.random.default_rng(0)
+    # fill to one window short of a full batch — no decode (and hence no
+    # heavyweight W=32 compile); the old ring would have stuck at 14
+    for _ in range(-(-scfg.fl // hop) + 30):   # 14 pushes to the first
+        # window (fl is not a hop multiple), then 30 more windows
+        block = (rng.normal(size=hop) + 1j * rng.normal(size=hop)
+                 ).astype(np.complex64) * np.float32(0.01)
+        assert dec.push(block[None, :]) == []
+    assert dec.windower.ready == 31
+    assert dec.windower.dropped == 0
+
+
 def test_batched_stream_decoder_pads_flush():
     """flush() with fewer ready windows than batch_windows zero-pads the
     final batch and must not emit spots for the padding."""

@@ -255,23 +255,10 @@ def _file_source(args, hop):
     limit = args.windows * hop if args.repeat else None
     if str(args.input).lower().endswith(".wav"):
         from uwspr_tpu.frontend.downconvert import downconvert
+        from uwspr_tpu.io.c2file import array_stream
         from uwspr_tpu.io.wavfile import read_wav
         audio, _ = read_wav(args.input)
-        z = downconvert(audio)
-
-        def blocks():
-            pos = 0
-            while True:
-                chunk = z[pos % len(z):(pos % len(z)) + hop]
-                if len(chunk) < hop and args.repeat:
-                    chunk = np.concatenate([chunk, z[:hop - len(chunk)]])
-                if len(chunk) == 0:
-                    return
-                yield chunk
-                pos += len(chunk)
-                if not args.repeat and pos >= len(z):
-                    return
-        src = blocks()
+        src = array_stream(downconvert(audio), repeat=args.repeat, block=hop)
     else:
         from uwspr_tpu.io.c2file import c2_stream
         src = c2_stream(args.input, repeat=args.repeat,
@@ -357,30 +344,28 @@ def _grc_receiver_source(src, cfg, hop, windows_limit):
     if src.kind in ("wav", "wav_mix"):
         from uwspr_tpu.frontend.downconvert import downconvert
         from uwspr_tpu.io.wavfile import read_wav
-        mixed = None
+        tracks = []
         for path, gain in zip(src.files, src.gains):
             audio, rate = read_wav(path)
             if rate != cfg.frontend.audio_rate:
                 raise SystemExit(f"{path}: {rate} S/s, flowgraph expects "
                                  f"{cfg.frontend.audio_rate}")
-            a = audio * np.float32(gain)
-            if mixed is None:
-                mixed = a
-            elif len(a) >= len(mixed):     # repeat-pad the shorter file,
-                mixed = a[:len(mixed)] + mixed  # mirroring GRC repeat=True
-            else:
-                reps = int(np.ceil(len(mixed) / len(a)))
-                mixed = mixed + np.tile(a, reps)[:len(mixed)]
+            tracks.append(audio * np.float32(gain))
+        # the longest file sets the stream length; shorter files loop over
+        # it (GRC repeat=True semantics), independent of XML block order
+        target = max(len(a) for a in tracks)
+        mixed = np.zeros(target, np.float32)
+        for a in tracks:
+            reps = int(np.ceil(target / len(a)))
+            mixed += np.tile(a, reps)[:target]
+        from uwspr_tpu.io.c2file import array_stream
         z = np.asarray(downconvert(mixed, cfg.frontend))
-        pos, sent = 0, 0
-        while sent < (windows_limit * hop if src.repeat else len(z)):
-            chunk = z[pos % len(z): pos % len(z) + hop]
-            if len(chunk) < hop and src.repeat:
-                chunk = np.concatenate([chunk, z[:hop - len(chunk)]])
-            if len(chunk) == 0:
+        limit = windows_limit * hop if src.repeat else len(z)
+        sent = 0
+        for chunk in array_stream(z, repeat=src.repeat, block=hop):
+            if sent >= limit:
                 return
             yield chunk[None, :]
-            pos += len(chunk)
             sent += len(chunk)
         return
     # live audio on stdin (AudioSourceDecode.grc: the soundcard is not a

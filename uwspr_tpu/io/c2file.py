@@ -57,14 +57,14 @@ def write_c2(path: str | os.PathLike, samples: np.ndarray, name: str = "",
         f.write(iq.tobytes())
 
 
-def c2_stream(path: str | os.PathLike, *, repeat: bool = False,
-              drift_rate: float = 0.0, block: int = 3375):
-    """Stream a .c2 capture as consecutive sample blocks, like the
-    reference's c2file_source work loop (c2file_source_impl.cc:108-138):
-    optional ``repeat`` restarts the file when exhausted, and the simulated
-    linear-drift phase ramp accumulates over the *absolute* stream index
-    (the reference keeps ``drift`` in a static across work() calls)."""
-    z = read_c2(path).samples
+def array_stream(z: np.ndarray, *, repeat: bool = False, block: int = 3375):
+    """Yield consecutive ``block``-sample chunks of an array, wrapping
+    seamlessly when ``repeat`` — the reference c2file_source's work-loop
+    semantics (c2file_source_impl.cc:108-138), shared by every
+    follow-a-file source (c2, wav, GRC wav mixes)."""
+    z = np.asarray(z)
+    if len(z) == 0:
+        return
     pos = 0
     while True:
         chunk = z[pos % len(z):(pos % len(z)) + block]
@@ -72,14 +72,28 @@ def c2_stream(path: str | os.PathLike, *, repeat: bool = False,
             chunk = np.concatenate([chunk, z[:block - len(chunk)]])
         if len(chunk) == 0:
             return
+        yield chunk
+        pos += len(chunk)
+        if not repeat and pos >= len(z):
+            return
+
+
+def c2_stream(path: str | os.PathLike, *, repeat: bool = False,
+              drift_rate: float = 0.0, block: int = 3375):
+    """Stream a .c2 capture as consecutive sample blocks: optional
+    ``repeat`` restarts the file when exhausted, and the simulated
+    linear-drift phase ramp accumulates over the *absolute* stream index
+    (the reference keeps ``drift`` in a static across work() calls,
+    c2file_source_impl.cc:117-133)."""
+    z = read_c2(path).samples
+    pos = 0
+    for chunk in array_stream(z, repeat=repeat, block=block):
         if drift_rate:
             n = pos + np.arange(len(chunk), dtype=np.float64)
             phase = np.pi * n * n * drift_rate / (375.0 * 375.0)
             chunk = (chunk * np.exp(1j * phase)).astype(np.complex64)
         yield chunk
         pos += len(chunk)
-        if not repeat and pos >= len(z):
-            return
 
 
 def apply_sim_drift(samples: np.ndarray, drift_rate: float) -> np.ndarray:
@@ -94,5 +108,5 @@ def apply_sim_drift(samples: np.ndarray, drift_rate: float) -> np.ndarray:
     return (np.asarray(samples) * np.exp(1j * phase)).astype(np.complex64)
 
 
-__all__ = ["C2File", "C2_SAMPLES", "read_c2", "write_c2", "c2_stream",
-           "apply_sim_drift"]
+__all__ = ["C2File", "C2_SAMPLES", "read_c2", "write_c2", "array_stream",
+           "c2_stream", "apply_sim_drift"]

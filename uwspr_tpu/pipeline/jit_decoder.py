@@ -621,12 +621,30 @@ class DeviceDecoder:
         gate = flat[..., 11 + J:11 + 2 * J] > 0.5
         deint = flat[..., 11 + 2 * J:].reshape(W, C, J, 162).astype(np.uint8)
 
-        success, data, _, _, _ = fano_decode_batch(
-            deint.reshape(-1, 162), self._mettab,
-            gate.reshape(-1), backend=self.config.fano_backend,
+        # Two phases, like the device path: the jiggle-0 lane almost always
+        # decodes, and the off-by-up-to-64-sample jiggle lanes backtrack far
+        # more (each can burn the full cycle budget at deep SNR) — so decode
+        # jiggle-0 lanes first and the remaining jiggles only for candidates
+        # whose jiggle-0 lane failed. First-success-in-jiggle-order output
+        # is unchanged: a jiggle-0 success always wins the argmax below.
+        succ0, data0, _, _, _ = fano_decode_batch(
+            deint[:, :, 0].reshape(-1, 162), self._mettab,
+            gate[:, :, 0].reshape(-1), backend=self.config.fano_backend,
             delta=dcfg.fano_delta, maxcycles=dcfg.maxcycles)
-        success = (success.reshape(W, C, J) & gate)
-        data = data.reshape(W, C, J, -1)
+        succ0 = (succ0.reshape(W, C) & gate[:, :, 0])
+        nbytes = data0.shape[-1]
+        success = succ0[:, :, None]
+        data = data0.reshape(W, C, 1, nbytes)
+        if J > 1:
+            gate_rest = gate[:, :, 1:] & ~succ0[:, :, None]
+            succr, datar, _, _, _ = fano_decode_batch(
+                deint[:, :, 1:].reshape(-1, 162), self._mettab,
+                gate_rest.reshape(-1), backend=self.config.fano_backend,
+                delta=dcfg.fano_delta, maxcycles=dcfg.maxcycles)
+            success = np.concatenate(
+                [success, succr.reshape(W, C, J - 1) & gate_rest], axis=2)
+            data = np.concatenate(
+                [data, datar.reshape(W, C, J - 1, nbytes)], axis=2)
 
         any_s = success.any(axis=-1)
         jbest = np.argmax(success, axis=-1).astype(np.int32)  # first True

@@ -84,9 +84,11 @@ class StreamDecoder:
             engine = "device" if jax.default_backend() == "tpu" else "host"
         self.engine = engine
         self.hashtable = hashtable if hashtable is not None else HashTable()
-        if engine == "device":
+        if engine in ("device", "hybrid"):
             from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
-            self._device = DeviceDecoder(self.config)
+            self._device = DeviceDecoder(
+                self.config,
+                fano_mode="host" if engine == "hybrid" else "device")
             self.decoder = None
         else:
             self._device = None
@@ -194,9 +196,15 @@ class BatchedStreamDecoder:
         scfg = self.config.stream
         self.batch_windows = batch_windows
         self.hashtable = hashtable if hashtable is not None else HashTable()
-        self.windower = NativeWindower(n_channels, scfg.fl,
-                                       scfg.shift * scfg.fs,
-                                       scfg.capacity_windows)
+        hop = scfg.shift * scfg.fs
+        # The ring must be able to hold a full batch of ready windows per
+        # channel, or push() (which drains only complete batches) would
+        # never fire and the ring would silently drop samples forever:
+        # `ready` saturates at (cap - fl)/hop + 1, so cap needs
+        # fl + (batch_windows - 1) * hop samples.
+        need = -(-(scfg.fl + (batch_windows - 1) * hop) // scfg.fl)
+        self.windower = NativeWindower(n_channels, scfg.fl, hop,
+                                       max(scfg.capacity_windows, need))
         self._device = DeviceDecoder(self.config, fano_mode=fano_mode)
         self.stats = StreamStats()
 

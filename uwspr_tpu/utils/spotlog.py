@@ -71,10 +71,12 @@ class SpotLogger:
             self._jsonl.write(json.dumps(d) + "\n")
             self._jsonl.flush()
         if self._spots:
+            # dt uses the wsprd convention shared with ALL_WSPR.TXT below:
+            # seconds relative to the nominal 2 s frame start.
             t = time.gmtime()
             self._spots.write(
                 f"{time.strftime('%y%m%d %H%M', t)} {spot.snr:6.1f} "
-                f"{spot.shift / 375.0:5.2f} {spot.freq:10.6f} "
+                f"{spot.shift / 375.0 - 2.0:5.2f} {spot.freq:10.6f} "
                 f"{spot.drift:2.0f}  {spot.message}\n")
             self._spots.flush()
         if self._allwspr:

@@ -182,6 +182,64 @@ def test_batched_vmap_matches_map():
                          [0, 1, 4, 6, *range(11 + J, pm.shape[-1])])
 
 
+def test_refine_compaction_matches_full():
+    """refine_max_lanes > 0 (cross-window compaction of the post-worth
+    refine stages) must decode the same messages with the same refined
+    (freq, shift) as the uncompacted batch, in both device and hybrid
+    engines; worth lanes beyond the cap degrade gracefully and surface in
+    fano_overflow."""
+    import jax.numpy as jnp
+
+    from uwspr_tpu.demod.finesync import complex_to_ri
+
+    rng = np.random.default_rng(13)
+    wins = []
+    for w in range(4):
+        z = synthesize_frame("VE3EMB", "FN25", 30,
+                             start_sample=int(rng.integers(0, 2000)),
+                             freq_offset=float(rng.uniform(-5, 5)))
+        if w == 1:   # two frames in one window
+            z = z + synthesize_frame("K1ABC", "FN42", 37, start_sample=500,
+                                     freq_offset=-6.0, pad_to=45000)
+        if w == 3:   # noise only
+            z = 0 * z
+        wins.append(awgn(z, (-20, -16, -24, -30)[w], rng=rng))
+    ri = jnp.asarray(np.stack([complex_to_ri(z) for z in wins]))
+
+    base = PipelineConfig(demod=DemodConfig(maxcycles=2000))
+    comp = PipelineConfig(demod=DemodConfig(maxcycles=2000,
+                                            refine_max_lanes=8))
+    d0 = DeviceDecoder(base)
+    d1 = DeviceDecoder(comp)
+    o0 = d0.unpack_output(np.asarray(d0.decode_windows_ri(ri)))
+    o1 = d1.unpack_output(np.asarray(d1.decode_windows_ri(ri)))
+    for w in range(4):
+        m0 = sorted(d0.messages(o0.window(w)))
+        m1 = sorted(d1.messages(o1.window(w)))
+        assert m0 == m1, (w, m0, m1)
+    sel0, sel1 = o0.success, o1.success
+    np.testing.assert_array_equal(sel0, sel1)
+    np.testing.assert_array_equal(o0.shift[sel0], o1.shift[sel1])
+    np.testing.assert_allclose(o0.freq[sel0], o1.freq[sel1], atol=1e-5)
+    assert int(o1.fano_overflow.sum()) == 0
+
+    # hybrid engine through the same compaction
+    h1 = DeviceDecoder(comp, fano_mode="host")
+    ph = h1.decode_ri_batch(np.asarray(ri))
+    for w in range(4):
+        msgs = sorted(h1.messages(ph.window(w)))
+        assert msgs == sorted(d0.messages(o0.window(w))), (w, msgs)
+
+    # cap smaller than the worth-lane count: decodes degrade gracefully
+    # and the dropped lanes are counted
+    tiny = PipelineConfig(demod=DemodConfig(maxcycles=2000,
+                                            refine_max_lanes=2))
+    d2 = DeviceDecoder(tiny)
+    o2 = d2.unpack_output(np.asarray(d2.decode_windows_ri(ri)))
+    assert int(o2.fano_overflow.sum()) >= 1
+    assert o2.success.sum() <= o0.success.sum()
+
+
 def test_probe_dtype_bf16_decodes():
     """probe_dtype="bf16" (real bf16 matmuls, f32 accumulation) must decode
     the same frames as f32 at operating SNR."""

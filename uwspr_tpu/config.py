@@ -66,6 +66,14 @@ class DemodConfig:
                                   # this many before the lockstep Fano (the
                                   # full 200x17 grid rarely passes gates;
                                   # overflow lanes report failure)
+    refine_max_lanes: int = 0     # batched device decoder: compact the
+                                  # post-worth refine stages (joint fine
+                                  # grid + soft symbols) to this many worth
+                                  # lanes across the window batch; 0 = run
+                                  # all W*C lanes. The reference gates these
+                                  # stages on sync1 > minsync1 per candidate
+                                  # (impl.cc:443); dropped overflow lanes
+                                  # surface in fano_overflow.
     probe_dtype: str = "f32"      # device-decoder probe einsums: "f32", or
                                   # "bf16" (4 real bf16 matmuls, f32
                                   # accumulation). Measured ~7% faster on

@@ -241,7 +241,19 @@ class DeviceDecoder:
     def _prefano_ri(self, ri: jnp.ndarray) -> dict:
         return self._prefano(jax.lax.complex(ri[0], ri[1]))
 
+    def _prefano_head_ri(self, ri: jnp.ndarray) -> dict:
+        return self._prefano_head(jax.lax.complex(ri[0], ri[1]))
+
     def _prefano(self, z: jnp.ndarray) -> dict:
+        st = self._prefano_head(z)
+        if "_t" in st:
+            return st
+        return self._prefano_tail(st)
+
+    def _prefano_head(self, z: jnp.ndarray) -> dict:
+        """Samples -> per-candidate coarse + phase-A + drift-refined state
+        (everything the reference runs for *every* candidate before the
+        sync1 > minsync1 gate, lib/sync_and_demodulate_impl.cc:443)."""
         cfg = self.config.coarse
         dcfg = self.config.demod
         z = z.astype(jnp.complex64)
@@ -332,11 +344,29 @@ class DeviceDecoder:
         updm = is_lin & ~updp & (sm_ > sync1)
         drift1 = jnp.where(updp, driftp, jnp.where(updm, driftm, drift1))
         sync1 = jnp.where(updp, sp, jnp.where(updm, sm_, sync1))
+        return {
+            "valid": valid, "snr": snr, "freq": f1, "shift": shift1,
+            "drift": drift1, "mode": mode, "slm_params": slm_params,
+            "sync1": sync1, "worth0": sync1 > dcfg.minsync1,
+            "Amat2": Amat2, "base2": base2,
+        }
+
+    def _prefano_tail(self, st: dict) -> dict:
+        """Post-worth stages (joint fine grid + soft symbols + gates) —
+        the part the refine_max_lanes compaction runs on worth lanes only."""
+        dcfg = self.config.demod
+        C = st["shift"].shape[0]
+        cidx = jnp.arange(C)
+        spe = functools.partial(shared_probe_eval, dtype=dcfg.probe_dtype)
+        valid, snr = st["valid"], st["snr"]
+        f1, shift1, drift1 = st["freq"], st["shift"], st["drift"]
+        mode, slm_params, sync1 = st["mode"], st["slm_params"], st["sync1"]
+        Amat2, base2 = st["Amat2"], st["base2"]
         dsym = self._drift_offsets(mode, drift1, slm_params)
         zd2 = probe_derotate(Amat2, dsym)
 
         # joint fine (freq x lag) grid; gated stage-order selection
-        worth = sync1 > dcfg.minsync1
+        worth = st["worth0"]
         lag_grid = shift1[:, None] + jnp.arange(-32, 33, 16)[None, :]
         freq_grid = (f1[:, None] + (jnp.arange(-2, 3) * 0.05)[None, :]
                      ).astype(jnp.float32)
@@ -506,12 +536,64 @@ class DeviceDecoder:
         (identical overflow semantics to the per-window path) and decoded
         in ONE cross-window two-phase batch, so the while_loop dispatch
         cost is paid per batch, not per window."""
-        pre = jax.vmap(self._prefano_ri)(ris)
+        if self.config.demod.refine_max_lanes > 0 and not self.truncate_stage:
+            head = jax.vmap(self._prefano_head_ri)(ris)
+            pre = self._compact_refine_tail(head)
+        else:
+            pre = jax.vmap(self._prefano_ri)(ris)
         if "_t" in pre:                     # truncated profiling program
             return pre["_t"].sum()
         if self.fano_mode == "host":
             return jax.vmap(self._pack_prefano)(pre)
         return self._pack(self._fano_select_batch(pre))
+
+    def _compact_refine_tail(self, head: dict) -> dict:
+        """Cross-window compaction of the post-worth refine stages.
+
+        The reference runs the fine lag/freq refinement and the Fano retry
+        loop only for candidates with sync1 > 0.10
+        (lib/sync_and_demodulate_impl.cc:443) — typically 1 of C per
+        window. The lockstep batch cannot skip lanes, but it can *compact*
+        them: gather the worth lanes of every window into one
+        (refine_max_lanes,)-lane batch, run the joint fine grid + soft
+        symbols there, and scatter the results back. Worth lanes beyond
+        the cap degrade gracefully (reported undecoded) and surface in the
+        per-window fano_overflow counter, like the Fano lane cap."""
+        dcfg = self.config.demod
+        W, C = head["sync1"].shape
+        J = dcfg.n_jiggles
+        ML = min(dcfg.refine_max_lanes, W * C)
+        worthy = head["worth0"] & head["valid"]                 # (W, C)
+        flat = worthy.reshape(W * C)
+        sel = jnp.argsort(~flat, stable=True)[:ML]
+
+        sub = {k: head[k].reshape((W * C,) + head[k].shape[2:])[sel]
+               for k in ("valid", "snr", "freq", "shift", "drift", "mode",
+                         "slm_params", "sync1", "Amat2", "base2")}
+        sub["worth0"] = flat[sel]     # padding lanes (if < ML worthy) stay
+                                      # unworthy: no updates, gate False
+        tail = self._prefano_tail(sub)
+
+        def scatter(base_flat, vals):
+            return base_flat.at[sel].set(vals).reshape((W, C) + vals.shape[1:])
+
+        zeros = jnp.zeros
+        selmask = jnp.zeros(W * C, bool).at[sel].set(True)
+        return {
+            "valid": head["valid"], "snr": head["snr"],
+            "mode": head["mode"], "slm_params": head["slm_params"],
+            "drift": head["drift"],
+            "worth": scatter(jnp.zeros(W * C, bool), tail["worth"]),
+            "freq": scatter(head["freq"].reshape(W * C), tail["freq"]),
+            "shift": scatter(head["shift"].reshape(W * C), tail["shift"]),
+            "sync2": scatter(zeros((W * C, J), jnp.float32), tail["sync2"]),
+            "gate": scatter(zeros((W * C, J), bool), tail["gate"]),
+            "deint": scatter(zeros((W * C, J, 162), jnp.uint8),
+                             tail["deint"]),
+            # worth lanes dropped by the cap, per window
+            "refine_overflow": (worthy & ~selmask.reshape(W, C))
+            .sum(axis=1).astype(jnp.int32),
+        }
 
     def _fano_select_batch(self, pre: dict) -> dict:
         dcfg = self.config.demod
@@ -536,7 +618,8 @@ class DeviceDecoder:
         data1 = out1["data"].reshape(W, ML1, nbytes)
         succ0 = jnp.zeros((W, C), bool).at[widx, sel1].set(succ1)
         data0 = jnp.zeros((W, C, nbytes), jnp.uint8).at[widx, sel1].set(data1)
-        overflow0 = jnp.maximum(gate0.sum(axis=1) - ML1, 0)
+        overflow0 = (jnp.maximum(gate0.sum(axis=1) - ML1, 0)
+                     + pre.get("refine_overflow", jnp.zeros(W, jnp.int32)))
 
         if J == 1:
             fano_overflow = overflow0.astype(jnp.int32)

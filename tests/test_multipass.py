@@ -45,6 +45,25 @@ def test_subtraction_cancels_decoded_frame():
     assert depth_db < -18.0, depth_db
 
 
+def test_subtraction_cancels_drifting_frame():
+    """The polish must recover the residual drift the refinement quantized
+    away (refine searches drift in +/-0.5 Hz steps): a 1 Hz/frame drifting
+    frame still cancels deeply."""
+    from uwspr_tpu.io.channel import apply_linear_drift
+    clean = apply_linear_drift(
+        synthesize_frame(*STRONG[:3], start_sample=800, freq_offset=0.5),
+        1.0)
+    noisy = awgn(clean, -15, rng=np.random.default_rng(2))
+    dec = WindowDecoder()
+    spots = dec(noisy).spots
+    assert [s.message for s in spots] == [STRONG[3]]
+    subtracted = subtract_spot(noisy, spots[0], dec.config)
+    residual = subtracted - (noisy - clean)
+    depth_db = 10 * np.log10(np.mean(np.abs(residual) ** 2)
+                             / np.mean(np.abs(clean) ** 2))
+    assert depth_db < -16.0, depth_db
+
+
 def test_multipass_unmasks_weak_cochannel_signal():
     dec = WindowDecoder()
     z = _masked_scene(seed=100)

@@ -106,15 +106,28 @@ def _symbol_gains(z: np.ndarray, ref: np.ndarray, lag: int
     return c, cnt
 
 
-def _residual_freq(c: np.ndarray, cnt: np.ndarray) -> float:
-    """Residual frequency error (Hz) from the mean phase advance between
-    consecutive per-symbol gains (the replica is phase-continuous, so a
-    frequency error e rotates c by 2*pi*e*Tsym per symbol)."""
+def _residual_freq_drift(c: np.ndarray, cnt: np.ndarray
+                         ) -> tuple[float, float]:
+    """Residual (frequency Hz, linear drift Hz/frame) from the phase
+    advance between consecutive per-symbol gains.
+
+    The replica is phase-continuous, so a frequency error e rotates c by
+    2*pi*e*Tsym per symbol; a drift error tilts that rotation rate across
+    the frame. Split-half estimator: the mean pair rotation of each half
+    gives the residual frequency at the half centers (~81 symbols apart
+    = half a frame), so drift_err = 2 * (f_late - f_early) in the
+    reference's convention offset_i = drift * (i - 81) / 162."""
     wpair = np.minimum(cnt[1:], cnt[:-1])
-    rot = np.sum(c[1:] * np.conj(c[:-1]) * wpair)
-    if abs(rot) == 0.0:
-        return 0.0
-    return float(np.angle(rot) / (2.0 * np.pi * _TSYM))
+    r = c[1:] * np.conj(c[:-1]) * wpair
+    half = len(r) // 2
+
+    def f_of(seg):
+        rot = np.sum(seg)
+        return (np.angle(rot) / (2.0 * np.pi * _TSYM)
+                if abs(rot) > 0.0 else 0.0)
+
+    f_early, f_late = f_of(r[:half]), f_of(r[half:])
+    return (f_early + f_late) / 2.0, 2.0 * (f_late - f_early)
 
 
 def _smooth_gains(c: np.ndarray, cnt: np.ndarray, nfilt: int) -> np.ndarray:
@@ -127,18 +140,20 @@ def _smooth_gains(c: np.ndarray, cnt: np.ndarray, nfilt: int) -> np.ndarray:
 
 
 def subtract_spot(z: np.ndarray, spot, config: PipelineConfig | None = None,
-                  nfilt: int = 5, freq_iters: int = 2,
-                  lag_search: int = 8) -> np.ndarray:
+                  nfilt: int = 5, freq_iters: int = 3,
+                  lag_search: int = 16) -> np.ndarray:
     """Return a copy of window ``z`` with the decoded frame of ``spot``
     subtracted.
 
     nfilt: boxcar width (symbols) for the channel-gain smoothing; wider
     averages more noise out of the estimate but tracks channel/frequency
-    variation less.  freq_iters: residual-frequency polish passes.
+    variation less.  freq_iters: residual-frequency/drift polish passes.
     lag_search: the decoder's lag is quantized (fine-lag step 16, jiggle
-    step 8); a residual time offset cannot be absorbed by the per-symbol
-    gains at tone-switch boundaries, so polish the lag to the sample over
-    +/-lag_search by maximizing the captured replica energy.
+    step 8) and a residual time offset cannot be absorbed by the
+    per-symbol gains at tone-switch boundaries, so the lag is polished to
+    the sample over +/-lag_search (maximum captured replica energy),
+    before and after the frequency polish (each estimate sharpens the
+    other).
     """
     config = config or PipelineConfig()
     symbols = spot_channel_symbols(spot.payload)
@@ -146,21 +161,29 @@ def subtract_spot(z: np.ndarray, spot, config: PipelineConfig | None = None,
     lag = spot_lag(spot, config)
     z = np.asarray(z)
 
-    freq = float(spot.freq)
-    for _ in range(max(0, freq_iters)):
-        ref = _replica(symbols, freq, dsym)
-        c, cnt = _symbol_gains(z, ref, lag)
-        dfreq = _residual_freq(c, cnt)
-        if abs(dfreq) < 1e-4:
-            break
-        freq += dfreq
-    ref = _replica(symbols, freq, dsym)
-    if lag_search > 0:
+    def polish_lag(ref, lag):
         def captured(lg):
             c, cnt = _symbol_gains(z, ref, lg)
             return float(np.sum(cnt * np.abs(c) ** 2))
-        lag = max(range(lag - lag_search, lag + lag_search + 1),
-                  key=captured)
+        return max(range(lag - lag_search, lag + lag_search + 1),
+                   key=captured)
+
+    freq = float(spot.freq)
+    i = np.arange(_NSYM, dtype=np.float64)
+    drift_ramp = (i - 81.0) / 162.0          # offset_i = drift * ramp
+    if lag_search > 0:
+        lag = polish_lag(_replica(symbols, freq, dsym), lag)
+    for _ in range(max(0, freq_iters)):
+        ref = _replica(symbols, freq, dsym)
+        c, cnt = _symbol_gains(z, ref, lag)
+        dfreq, ddrift = _residual_freq_drift(c, cnt)
+        if abs(dfreq) < 1e-4 and abs(ddrift) < 1e-3:
+            break
+        freq += dfreq
+        dsym = dsym + ddrift * drift_ramp    # fold residual drift in
+    ref = _replica(symbols, freq, dsym)
+    if lag_search > 0:
+        lag = polish_lag(ref, lag)
     c, cnt = _symbol_gains(z, ref, lag)
     cs = _smooth_gains(c, cnt, nfilt)
 

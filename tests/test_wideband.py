@@ -79,3 +79,14 @@ def test_wideband_ten_signal_window_and_overflow():
     assert int(out_small.fano_overflow) > 0          # drop was observable
     assert 0 < len(msgs_small) < len(calls)          # degraded, not crashed
     assert msgs_small <= msgs
+
+    # refine-lane compaction on the wideband batch (its payoff case:
+    # C=32 lanes, ~10 worth): identical message set via the batched path
+    cfg_comp = PipelineConfig(
+        coarse=WIDEBAND,
+        demod=DemodConfig(maxcycles=2000, refine_max_lanes=16))
+    dec_comp = DeviceDecoder(cfg_comp)
+    out_comp = dec_comp.decode_batch(z[None, :])
+    msgs_comp = set(dec_comp.messages(out_comp.window(0)))
+    assert msgs_comp == msgs, msgs ^ msgs_comp
+    assert int(out_comp.fano_overflow.sum()) == 0

@@ -63,7 +63,16 @@ def main():
     from uwspr_tpu.protocol.messages import unpack_message
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    decoder = DeviceDecoder()
+    # BENCH_REFINE_LANES=<n>: A/B the cross-window refine-lane compaction
+    # (DemodConfig.refine_max_lanes) without editing the default config.
+    lanes = int(os.environ.get("BENCH_REFINE_LANES", "0"))
+    if lanes:
+        from uwspr_tpu.config import DemodConfig, PipelineConfig
+        decoder = DeviceDecoder(
+            PipelineConfig(demod=DemodConfig(refine_max_lanes=lanes)))
+        log(f"refine_max_lanes: {lanes}")
+    else:
+        decoder = DeviceDecoder()
     windows, expected = make_windows(N_WINDOWS)
     ri = np.stack([complex_to_ri(w) for w in windows])  # (W, 2, fl)
     ri_j = jnp.asarray(ri)

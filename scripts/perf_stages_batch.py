@@ -52,12 +52,22 @@ def timed(fn, ri, reps=10):
 
 
 def main():
+    import os
+
+    from uwspr_tpu.config import DemodConfig, PipelineConfig
+
+    # UWSPR_REFINE_LANES=<n>: measure with cross-window refine-lane
+    # compaction (DemodConfig.refine_max_lanes). Truncated stages ignore
+    # compaction (head-only programs), so only the full row (stage=None)
+    # reflects it — compare its total against a compaction-off run.
+    lanes = int(os.environ.get("UWSPR_REFINE_LANES", "0"))
+    cfg = PipelineConfig(demod=DemodConfig(refine_max_lanes=lanes))
     print("backend:", jax.default_backend(), jax.devices(), "W =", W,
-          flush=True)
+          "refine_lanes =", lanes, flush=True)
     ri = make_batch()
     prev = 0.0
     for stage in ["post_peaks", "post_coarse", "post_refine", "pre_fano", None]:
-        dec = DeviceDecoder(truncate_stage=stage)
+        dec = DeviceDecoder(cfg, truncate_stage=stage)
         t0 = time.perf_counter()
         np.asarray(dec.decode_windows_ri(ri))
         print(f"compile {stage}: {time.perf_counter() - t0:.1f} s",

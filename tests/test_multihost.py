@@ -79,6 +79,14 @@ for ss, ps in zip(out["success"].addressable_shards,
             found.append(u.text)
 print(f"RESULT {jax.process_index()} local_shards={len(local)} "
       f"global_spots={total} found={found}", flush=True)
+
+# local=True: each process feeds ONLY its own channel rows
+# (distributed.process_local_channels) and the spot count must agree
+from uwspr_tpu.parallel.distributed import process_local_channels
+start, count = process_local_channels(2)
+out2, n2 = dec.decode(x[start:start + count], tail[start:start + count],
+                      local=True)
+assert int(np.asarray(n2)) == total, (int(np.asarray(n2)), total)
 print("MULTIHOST_OK", flush=True)
 """
 

@@ -35,13 +35,14 @@ def design_lowpass(num_taps: int, cutoff_hz: float, fs: float) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("decim",))
-def _mix_and_decimate(audio: jnp.ndarray, taps: jnp.ndarray, cf: float,
-                      fs: float, *, decim: int) -> jnp.ndarray:
-    n = audio.shape[-1]
-    t = jnp.arange(n, dtype=jnp.float32)
-    w = (-2.0 * jnp.pi * cf / fs) * t
-    re = audio * jnp.cos(w)
-    im = audio * jnp.sin(w)
+def _mix_and_decimate(audio: jnp.ndarray, lo: jnp.ndarray,
+                      taps: jnp.ndarray, *, decim: int) -> jnp.ndarray:
+    """audio (N,) f32, lo (2, N) f32 mixer cos/-sin (host-computed in
+    float64: a float32 phase ramp loses ~0.1 rad by 1e6 samples and is
+    garbage past 2^24). Returns (2, M) float32 — complex64 cannot cross
+    the host<->device boundary on all TPU runtimes (CLAUDE.md ABI)."""
+    re = audio * lo[0]
+    im = audio * lo[1]
     ntaps = taps.shape[0]
     pad = ntaps // 2
 
@@ -53,7 +54,7 @@ def _mix_and_decimate(audio: jnp.ndarray, taps: jnp.ndarray, cf: float,
             dimension_numbers=("NCH", "IOH", "NCH"))
         return y[0, 0]
 
-    return jax.lax.complex(conv_stride(re), conv_stride(im))
+    return jnp.stack([conv_stride(re), conv_stride(im)])
 
 
 class Downconverter:
@@ -69,11 +70,13 @@ class Downconverter:
         """(N,) float audio at audio_rate -> (N//decim,) complex64 baseband."""
         cfg = self.cfg
         n = (len(audio) // cfg.decimation) * cfg.decimation
-        out = _mix_and_decimate(jnp.asarray(audio[:n], jnp.float32),
-                                jnp.asarray(self.taps),
-                                float(cfg.center_freq), float(cfg.audio_rate),
-                                decim=cfg.decimation)
-        return np.asarray(out, dtype=np.complex64)
+        w = ((-2.0 * np.pi * cfg.center_freq / cfg.audio_rate)
+             * np.arange(n, dtype=np.float64))
+        lo = np.stack([np.cos(w), np.sin(w)]).astype(np.float32)
+        out = np.asarray(_mix_and_decimate(
+            jnp.asarray(audio[:n], jnp.float32), jnp.asarray(lo),
+            jnp.asarray(self.taps), decim=cfg.decimation))
+        return (out[0] + 1j * out[1]).astype(np.complex64)
 
 
 def downconvert(audio: np.ndarray, cfg: FrontendConfig | None = None

@@ -89,8 +89,12 @@ def c2_stream(path: str | os.PathLike, *, repeat: bool = False,
     pos = 0
     for chunk in array_stream(z, repeat=repeat, block=block):
         if drift_rate:
+            # phase(n) = (n mod N) * pi * drift(n) / 375 with drift(n)
+            # accumulating rate/375 per ABSOLUTE sample: the reference's
+            # sample_idx resets each repeat pass while its static drift
+            # keeps growing (c2file_source_impl.cc:117-133,139)
             n = pos + np.arange(len(chunk), dtype=np.float64)
-            phase = np.pi * n * n * drift_rate / (375.0 * 375.0)
+            phase = np.pi * (n % len(z)) * n * drift_rate / (375.0 * 375.0)
             chunk = (chunk * np.exp(1j * phase)).astype(np.complex64)
         yield chunk
         pos += len(chunk)

@@ -21,7 +21,6 @@ single-process virtual-device grid used by the test suite.
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
 
@@ -37,7 +36,10 @@ def initialize(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id)
     except RuntimeError as e:                     # already initialized
-        if "already" not in str(e).lower():
+        msg = str(e).lower()
+        # jax wordings across versions: "already initialized" /
+        # "should only be called once"
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 
@@ -49,12 +51,12 @@ def global_mesh(n_channel: int, n_time: int) -> Mesh:
     (ICI) wherever n_time divides the per-host device count, and the
     channel axis (embarrassingly parallel) spans hosts (DCN).
     """
-    devs = np.array(jax.devices())
+    from uwspr_tpu.parallel.mesh import make_mesh
+    devs = jax.devices()
     if len(devs) < n_channel * n_time:
         raise ValueError(
             f"need {n_channel * n_time} devices, have {len(devs)}")
-    return Mesh(devs[: n_channel * n_time].reshape(n_channel, n_time),
-                axis_names=("channel", "time"))
+    return make_mesh(n_channel, n_time, devices=devs)
 
 
 def process_local_channels(n_channel: int) -> tuple[int, int]:

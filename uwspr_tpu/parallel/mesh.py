@@ -155,13 +155,17 @@ class ShardedDecoder:
                            check_vma=False)
         return jax.jit(fn)
 
-    def _sharded_inputs(self, x: np.ndarray, tail: np.ndarray | None):
+    def _sharded_inputs(self, x: np.ndarray, tail: np.ndarray | None,
+                        local: bool = False):
         """Host (channels, T) complex + optional (channels, halo) tail ->
         globally sharded (channels, 2, T) / (channels, 2, halo) f32 arrays.
 
-        Uses jax.make_array_from_callback so the same path works in
-        multi-process (multi-host) jobs, where each process only supplies
-        the shards its local devices own.
+        local=False: ``x`` is the FULL global array, identical on every
+        process (the make_array_from_callback path serves each process's
+        devices their global slices from it).  local=True (multi-host):
+        ``x`` holds only this process's channel rows — the
+        ``distributed.process_local_channels`` block — and the global
+        array is assembled with jax.make_array_from_process_local_data.
         """
         x = np.asarray(x)
         channels = x.shape[0]
@@ -177,16 +181,25 @@ class ShardedDecoder:
         x_ri, tail_ri = to_ri(x), to_ri(tail)
         sh_x = NamedSharding(self.mesh, P("channel", None, "time"))
         sh_t = NamedSharding(self.mesh, P("channel", None, None))
-        gx = jax.make_array_from_callback(x_ri.shape, sh_x,
-                                          lambda idx: x_ri[idx])
-        gt = jax.make_array_from_callback(tail_ri.shape, sh_t,
-                                          lambda idx: tail_ri[idx])
+        if local and jax.process_count() > 1:
+            gx = jax.make_array_from_process_local_data(sh_x, x_ri)
+            gt = jax.make_array_from_process_local_data(sh_t, tail_ri)
+        else:
+            gx = jax.make_array_from_callback(x_ri.shape, sh_x,
+                                              lambda idx: x_ri[idx])
+            gt = jax.make_array_from_callback(tail_ri.shape, sh_t,
+                                              lambda idx: tail_ri[idx])
         return gx, gt
 
-    def decode(self, x: np.ndarray, tail: np.ndarray | None = None):
+    def decode(self, x: np.ndarray, tail: np.ndarray | None = None,
+               local: bool = False):
         """x: (channels, time_samples) complex64, divisible by mesh shape;
         tail: (channels, fl-hop) samples that follow x in the stream
         (zeros = end of stream).
+
+        Multi-host: either pass the full global x on EVERY process
+        (local=False, default), or pass only this process's channel rows
+        (``distributed.process_local_channels``) with local=True.
 
         Returns (outputs dict of global arrays (channels, windows, C, ...),
         total_spots scalar). Window w along axis 1 starts at global sample
@@ -194,6 +207,8 @@ class ShardedDecoder:
         """
         n_ch, n_t = self.mesh.shape["channel"], self.mesh.shape["time"]
         channels, total = x.shape
+        if local:
+            channels *= jax.process_count()
         assert channels % n_ch == 0
         assert total % n_t == 0
         block_len = total // n_t
@@ -202,7 +217,7 @@ class ShardedDecoder:
         key = (channels // n_ch, block_len)
         if self._step is None or self._step[0] != key:
             self._step = (key, self._build(*key))
-        gx, gt = self._sharded_inputs(x, tail)
+        gx, gt = self._sharded_inputs(x, tail, local=local)
         return self._step[1](gx, gt)
 
 

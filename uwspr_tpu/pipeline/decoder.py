@@ -127,7 +127,7 @@ class WindowDecoder:
                 shift=int(ref.shift[c]),
                 drift=float(ref.drift[c]),
                 mode=int(cands.mode[c]),
-                slm_params=tuple(cands.slm_params[c])
+                slm_params=tuple(float(v) for v in cands.slm_params[c])
                 if cands.mode[c] == MODE_NONLINEAR else (),
                 candidate=c,
                 jiggle=j,

@@ -122,7 +122,10 @@ def unpack_callsign(ncall: int) -> str | None:
     t2 = c[n % 10]; n //= 10
     t1 = c[n % 36]; n //= 36
     t0 = c[n]
-    return (t0 + t1 + t2 + t3 + t4 + t5).strip()
+    # reference semantics (helpers.cc:385-396): strip leading spaces, then
+    # NUL every remaining space — i.e. the C string TRUNCATES at the first
+    # interior space ('AB1 CD' -> 'AB1'), it does not just trim the ends
+    return (t0 + t1 + t2 + t3 + t4 + t5).lstrip(" ").split(" ")[0]
 
 
 def pack_callsign(call: str) -> int:

@@ -68,7 +68,9 @@ class SpotLogger:
             d["payload"] = spot.payload.hex()
             d.pop("unpacked", None)
             d["time"] = time.time()
-            self._jsonl.write(json.dumps(d) + "\n")
+            # default=float: slm_params and friends may carry numpy
+            # scalars, which json cannot serialize natively
+            self._jsonl.write(json.dumps(d, default=float) + "\n")
             self._jsonl.flush()
         if self._spots:
             # dt uses the wsprd convention shared with ALL_WSPR.TXT below:

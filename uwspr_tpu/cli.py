@@ -52,6 +52,19 @@ def _make_engine(args, ht):
     return dec, lambda window: dec(window).spots, "host"
 
 
+
+def _read_wav_checked(path, expected_rate: int = 12000):
+    """read_wav + sample-rate validation: the downconversion chain is
+    designed for 12 kS/s audio; silently decoding a 48 kHz file would
+    produce zero spots with no hint why."""
+    from uwspr_tpu.io.wavfile import read_wav
+    audio, rate = read_wav(path)
+    if rate != expected_rate:
+        raise SystemExit(f"{path}: {rate} S/s audio; the frontend expects "
+                         f"{expected_rate} S/s")
+    return audio
+
+
 def _cmd_decode(args):
     from uwspr_tpu.protocol.messages import HashTable
     from uwspr_tpu.utils.spotlog import SpotLogger
@@ -70,8 +83,7 @@ def _cmd_decode(args):
 
     if args.wav or str(args.file).lower().endswith(".wav"):
         from uwspr_tpu.frontend.downconvert import downconvert
-        from uwspr_tpu.io.wavfile import read_wav
-        audio, rate = read_wav(args.file)
+        audio = _read_wav_checked(args.file)
         z = downconvert(audio)
     else:
         from uwspr_tpu.io.c2file import read_c2
@@ -142,11 +154,8 @@ def _cmd_wavtoc2(args):
     """12 kS/s wav -> c2 baseband capture (inverse of c2towav)."""
     from uwspr_tpu.frontend.downconvert import downconvert
     from uwspr_tpu.io.c2file import write_c2
-    from uwspr_tpu.io.wavfile import read_wav
 
-    audio, rate = read_wav(args.file)
-    if rate != 12000:
-        raise SystemExit(f"expected 12 kS/s audio, got {rate}")
+    audio = _read_wav_checked(args.file)
     z = downconvert(audio)
     write_c2(args.output, z[:45000])
     print(f"wrote {args.output}")
@@ -159,9 +168,7 @@ def _cmd_sweep(args):
     interference = None
     if args.whales:
         from uwspr_tpu.frontend.downconvert import downconvert
-        from uwspr_tpu.io.wavfile import read_wav
-        audio, _ = read_wav(args.whales)
-        interference = downconvert(audio)
+        interference = downconvert(_read_wav_checked(args.whales))
 
     def progress(snr, t, ok):
         print(f"\rSNR {snr:+6.1f} dB: trial {t + 1}, {ok} ok", end="",
@@ -256,8 +263,7 @@ def _file_source(args, hop):
     if str(args.input).lower().endswith(".wav"):
         from uwspr_tpu.frontend.downconvert import downconvert
         from uwspr_tpu.io.c2file import array_stream
-        from uwspr_tpu.io.wavfile import read_wav
-        audio, _ = read_wav(args.input)
+        audio = _read_wav_checked(args.input)
         src = array_stream(downconvert(audio), repeat=args.repeat, block=hop)
     else:
         from uwspr_tpu.io.c2file import c2_stream
@@ -285,6 +291,14 @@ def _cmd_serve(args):
     channels = 1 if external else args.channels
     ht = HashTable.load(args.hashtable) if args.hashtable else HashTable()
     if args.runtime == "native":
+        if getattr(args, "passes", 1) > 1:
+            raise SystemExit("--passes requires --runtime python "
+                             "(interference cancellation re-decodes each "
+                             "window between passes)")
+        if args.engine == "host":
+            raise SystemExit("--runtime native serves through the batched "
+                             "XLA engines; use --engine device/hybrid, or "
+                             "--runtime python for host orchestration")
         from uwspr_tpu.pipeline.stream import BatchedStreamDecoder
         sd = BatchedStreamDecoder(
             n_channels=channels, hashtable=ht, batch_windows=args.batch,

@@ -53,6 +53,18 @@ _DT = 1.0 / SAMPLE_RATE
 _TONES_HZ = (TONE_OFFSETS * TONE_SPACING).astype(np.float32)  # (4,)
 
 
+def jiggle_offsets(n_jiggles: int, iifac: int) -> np.ndarray:
+    """Retry-shift schedule 0, -iifac, +iifac, -2*iifac, ... in the
+    reference's idt order (impl.cc:460-464). The single source for every
+    consumer (FineSync, DeviceDecoder, multipass.spot_lag) — they must
+    agree exactly, since spot_lag reconstructs a decoder's lag from the
+    stored jiggle index."""
+    idt = np.arange(n_jiggles)
+    ii = (idt + 1) // 2
+    ii = np.where(idt % 2 == 1, -ii, ii)
+    return (ii * iifac).astype(np.int32)
+
+
 def drift_offsets(cands: Candidates, drift1: np.ndarray, cf: float
                   ) -> np.ndarray:
     """(C, 162) per-symbol frequency offset in Hz for each candidate.
@@ -476,11 +488,7 @@ class FineSync:
     # -- mode-2 soft symbols over all jiggled shifts -----------------------
 
     def jiggle_offsets(self) -> np.ndarray:
-        """ii sequence 0, -8, +8, -16, ... (impl.cc:460-464)."""
-        idt = np.arange(self.cfg.n_jiggles)
-        ii = (idt + 1) // 2
-        ii = np.where(idt % 2 == 1, -ii, ii)
-        return (ii * self.cfg.iifac).astype(np.int32)
+        return jiggle_offsets(self.cfg.n_jiggles, self.cfg.iifac)
 
     def soft_symbols(self, z: np.ndarray, cands: Candidates, ref: Refined
                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -512,4 +520,5 @@ class FineSync:
 
 __all__ = ["FineSync", "Refined", "eval_probe_grid",
            "eval_probe_grid_core", "complex_to_ri", "drift_offsets",
-           "make_shared_probe", "probe_derotate", "shared_probe_eval"]
+           "jiggle_offsets", "make_shared_probe", "probe_derotate",
+           "shared_probe_eval"]

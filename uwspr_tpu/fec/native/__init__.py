@@ -8,50 +8,29 @@ callers should catch ImportError/OSError and use the Python/JAX backends.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
-import subprocess
-import threading
 
 import numpy as np
+
+from uwspr_tpu.utils.native_build import load_native
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "fano_native.cc"
 _LIB = _DIR / "libuwspr_fano.so"
-_lock = threading.Lock()
-_lib = None
 
 
-def _build() -> None:
-    cmd = [
-        "g++", "-O3", "-fopenmp", "-shared", "-fPIC",
-        str(_SRC), "-o", str(_LIB),
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.uwspr_fano_decode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
-    # -march=native when available; harmless to drop if unsupported.
-    try:
-        subprocess.run(cmd[:1] + ["-march=native"] + cmd[1:], check=True,
-                       capture_output=True)
-    except subprocess.CalledProcessError:
-        subprocess.run(cmd, check=True, capture_output=True)
+    lib.uwspr_fano_decode_batch.restype = None
+    lib.uwspr_fano_num_threads.restype = ctypes.c_int
 
 
 def _load() -> ctypes.CDLL:
-    global _lib
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            _build()
-        lib = ctypes.CDLL(str(_LIB))
-        lib.uwspr_fano_decode_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ]
-        lib.uwspr_fano_decode_batch.restype = None
-        lib.uwspr_fano_num_threads.restype = ctypes.c_int
-        _lib = lib
-        return lib
+    return load_native(_SRC, _LIB, _configure)
 
 
 def fano_decode_batch_native(symbols: np.ndarray, mettab: np.ndarray,

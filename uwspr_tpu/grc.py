@@ -154,11 +154,18 @@ def parse_grc(path: str | os.PathLike) -> Flowgraph:
     for b in root.iter("block"):
         key = b.find("key").text
         params = {}
+        enabled = True
         for p in b.findall("param"):
             k = p.find("key").text
+            if k == "_enabled":
+                # GRC omits disabled blocks from the generated flowgraph;
+                # a disabled alternative source must not be classified
+                enabled = (p.find("value").text or "True") not in (
+                    "0", "False", "false")
             if k not in _META_PARAMS:
                 params[k] = p.find("value").text
-        raw.append((key, params))
+        if enabled:
+            raw.append((key, params))
 
     # variable blocks may reference each other; iterate to fixpoint
     names: dict = {}

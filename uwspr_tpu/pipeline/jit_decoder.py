@@ -63,6 +63,9 @@ class DeviceDecoderOutput:
     valid: np.ndarray
     fano_overflow: np.ndarray  # scalar: gated lanes dropped past
                                # fano_max_lanes (graceful-degradation count)
+    fano_attempts: np.ndarray  # scalar: gated (candidate, jiggle) lanes
+                               # this window (the reference's Fano retry
+                               # count; load/capacity observability)
 
     def window(self, w: int) -> "DeviceDecoderOutput":
         """Select one window from a batched (leading axis W) output."""
@@ -116,11 +119,9 @@ class DeviceDecoder:
         self._mettab = np.asarray(FANO_METTAB)
         self._perm = np.asarray(INTERLEAVE_PERM)
         dcfg = self.config.demod
-        idt = np.arange(dcfg.n_jiggles)
-        ii = (idt + 1) // 2
-        ii = np.where(idt % 2 == 1, -ii, ii) * dcfg.iifac
-        self._jiggles = ii.astype(np.int32)
-        # The jitted entry points return ONE packed (C, 21) f32 array, not
+        from uwspr_tpu.demod.finesync import jiggle_offsets
+        self._jiggles = jiggle_offsets(dcfg.n_jiggles, dcfg.iifac)
+        # The jitted entry points return ONE packed (C, 22) f32 array, not
         # the field dict: on remote TPU runtimes every fetched array is its
         # own ~30 ms d2h RPC, so 11 result arrays cost more than the whole
         # decode. unpack_output() recovers the typed fields on the host.
@@ -149,6 +150,7 @@ class DeviceDecoder:
     # column layout (all exactly representable in f32):
     #   0 success  1 valid  2 freq  3 snr  4 sync  5 shift  6 drift
     #   7 mode  8 jiggle  9:13 slm_params  13:20 payload  20 fano_overflow
+    #   21 fano_attempts (gated lanes this window)
 
     @staticmethod
     def _pack(out: dict) -> jnp.ndarray:
@@ -167,16 +169,18 @@ class DeviceDecoder:
             out["mode"].astype(jnp.float32),
             out["jiggle"].astype(jnp.float32),
         ], axis=-1)                                             # (..., C, 9)
-        overflow = jnp.broadcast_to(
-            out["fano_overflow"].astype(jnp.float32)[..., None, None],
-            head.shape[:-1] + (1,))
+        def percol(v):
+            return jnp.broadcast_to(v.astype(jnp.float32)[..., None, None],
+                                    head.shape[:-1] + (1,))
         return jnp.concatenate(
             [head, out["slm_params"].astype(jnp.float32),
-             out["payload"].astype(jnp.float32), overflow], axis=-1)
+             out["payload"].astype(jnp.float32),
+             percol(out["fano_overflow"]),
+             percol(out["fano_attempts"])], axis=-1)
 
     @staticmethod
     def unpack_output(a: np.ndarray) -> DeviceDecoderOutput:
-        """Packed (..., C, 21) f32 -> typed DeviceDecoderOutput."""
+        """Packed (..., C, 22) f32 -> typed DeviceDecoderOutput."""
         a = np.asarray(a)
         return DeviceDecoderOutput(
             success=a[..., 0] > 0.5,
@@ -191,6 +195,7 @@ class DeviceDecoder:
             slm_params=a[..., 9:13].astype(np.float32),
             payload=a[..., 13:20].astype(np.uint8),
             fano_overflow=a[..., 0, 20].astype(np.int32),
+            fano_attempts=a[..., 0, 21].astype(np.int32),
         )
 
     # -- coarse: device peak pick -----------------------------------------
@@ -425,17 +430,21 @@ class DeviceDecoder:
         selection run in _host_fano_assemble.
         layout: 0 valid 1 worth 2 freq 3 snr 4 shift 5 drift 6 mode
                 7:11 slm  11:11+J sync2  11+J:11+2J gate
-                11+2J:    deinterleaved symbols (J*162)"""
+                11+2J:11+(2+162)J deinterleaved symbols  last: overflow"""
         C, J = pre["gate"].shape
         head = jnp.stack([
             pre["valid"].astype(jnp.float32),
             pre["worth"].astype(jnp.float32),
             pre["freq"], pre["snr"], pre["shift"].astype(jnp.float32),
             pre["drift"], pre["mode"].astype(jnp.float32)], axis=-1)
+        # refine-lane compaction overflow (worth lanes dropped by the cap,
+        # _compact_refine_tail) — the host Fano itself has no lane cap
+        ovf = jnp.asarray(pre.get("refine_overflow", 0), jnp.float32)
         return jnp.concatenate(
             [head, pre["slm_params"].astype(jnp.float32), pre["sync2"],
              pre["gate"].astype(jnp.float32),
-             pre["deint"].reshape(C, J * 162).astype(jnp.float32)], axis=-1)
+             pre["deint"].reshape(C, J * 162).astype(jnp.float32),
+             jnp.broadcast_to(ovf, (C, 1))], axis=-1)
 
     def _decode_window(self, z: jnp.ndarray) -> dict:
         pre = self._prefano(z)
@@ -490,7 +499,8 @@ class DeviceDecoder:
             payload = data0[:, :7]
             return self._outputs(any_success & worth, payload, f1, snr,
                                  sync2[cidx, jbest], shift1, drift1, mode,
-                                 slm_params, jbest, valid, fano_overflow)
+                                 slm_params, jbest, valid, fano_overflow,
+                                 gate0.sum().astype(jnp.int32))
 
         # phase 2: remaining jiggles, masked off where phase 1 succeeded
         R = C * (J - 1)
@@ -526,10 +536,11 @@ class DeviceDecoder:
         payload = data[cidx, jbest, :7]
         return self._outputs(any_success & worth, payload, f1, snr,
                              sync2[cidx, jbest], shift1, drift1, mode,
-                             slm_params, jbest, valid, fano_overflow)
+                             slm_params, jbest, valid, fano_overflow,
+                             gate.sum().astype(jnp.int32))
 
     def _decode_windows_batched(self, ris: jnp.ndarray) -> jnp.ndarray:
-        """(W, 2, fl) windows -> packed (W, C, 21) [device mode] or packed
+        """(W, 2, fl) windows -> packed (W, C, 22) [device mode] or packed
         prefano (W, C, 11+2J+162J) [hybrid]. The pre-Fano pipeline is
         vmapped over windows (probe einsums carry W*C lanes instead of C,
         keeping the MXU busy); gated Fano lanes are compacted per window
@@ -660,11 +671,13 @@ class DeviceDecoder:
         return self._outputs(any_success & pre["worth"], payload,
                              pre["freq"], pre["snr"], sync, pre["shift"],
                              pre["drift"], pre["mode"], pre["slm_params"],
-                             jbest, pre["valid"], fano_overflow)
+                             jbest, pre["valid"], fano_overflow,
+                             gate.sum(axis=(1, 2)).astype(jnp.int32))
 
     @staticmethod
     def _outputs(success, payload, freq, snr, sync, shift, drift, mode,
-                 slm_params, jbest, valid, fano_overflow) -> dict:
+                 slm_params, jbest, valid, fano_overflow,
+                 fano_attempts) -> dict:
         return {
             "success": success,
             "payload": payload,
@@ -678,6 +691,7 @@ class DeviceDecoder:
             "jiggle": jbest.astype(jnp.int32),
             "valid": valid,
             "fano_overflow": fano_overflow,
+            "fano_attempts": fano_attempts,
         }
 
     def _host_fano_assemble(self, a: np.ndarray) -> DeviceDecoderOutput:
@@ -702,7 +716,9 @@ class DeviceDecoder:
         slm = flat[..., 7:11].astype(np.float32)
         sync2 = flat[..., 11:11 + J].astype(np.float32)       # (W, C, J)
         gate = flat[..., 11 + J:11 + 2 * J] > 0.5
-        deint = flat[..., 11 + 2 * J:].reshape(W, C, J, 162).astype(np.uint8)
+        deint = (flat[..., 11 + 2 * J:11 + (2 + 162) * J]
+                 .reshape(W, C, J, 162).astype(np.uint8))
+        refine_overflow = flat[..., 0, -1].astype(np.int32)   # (W,)
 
         # Two phases, like the device path: the jiggle-0 lane almost always
         # decodes, and the off-by-up-to-64-sample jiggle lanes backtrack far
@@ -745,7 +761,11 @@ class DeviceDecoder:
             slm_params=slm.reshape(*lead, C, 4),
             jiggle=jbest.reshape(*lead, C),
             valid=valid.reshape(*lead, C),
-            fano_overflow=np.zeros(lead, np.int32),           # no lane cap
+            # the host Fano has no lane cap; only refine-lane compaction
+            # (if enabled) can drop worth lanes
+            fano_overflow=refine_overflow.reshape(lead),
+            fano_attempts=gate.sum(axis=(1, 2)).astype(np.int32)
+            .reshape(lead),
         )
 
     def __call__(self, z: np.ndarray) -> DeviceDecoderOutput:

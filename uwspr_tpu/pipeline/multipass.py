@@ -29,7 +29,9 @@ from __future__ import annotations
 
 import numpy as np
 
+from uwspr_tpu.coarse.search import MODE_NONLINEAR
 from uwspr_tpu.config import PipelineConfig
+from uwspr_tpu.demod.finesync import jiggle_offsets
 from uwspr_tpu.models import slm
 from uwspr_tpu.protocol.constants import (
     SAMPLE_RATE,
@@ -42,7 +44,6 @@ from uwspr_tpu.protocol.fec_encode import channel_symbols
 _NSYM = 162
 _FRAME = _NSYM * SAMPLES_PER_SYMBOL
 _TSYM = SAMPLES_PER_SYMBOL / SAMPLE_RATE       # symbol period, s
-MODE_NONLINEAR = 1
 
 
 def spot_channel_symbols(payload: bytes) -> np.ndarray:
@@ -64,17 +65,12 @@ def spot_drift_offsets(spot, cf: float) -> np.ndarray:
     return (float(spot.drift) / 2.0) * (i - 81.0) / 81.0
 
 
-def jiggle_offset(jiggle: int, iifac: int) -> int:
-    """idt -> sample offset 0, -8, +8, -16, ... (impl.cc:460-464)."""
-    ii = (jiggle + 1) // 2
-    return int((-ii if jiggle % 2 == 1 else ii) * iifac)
-
-
 def spot_lag(spot, config: PipelineConfig) -> int:
     """The window-local sample index of the decoded frame's first sample:
-    the refined shift plus the successful jiggle's offset."""
-    return int(spot.shift) + jiggle_offset(int(spot.jiggle),
-                                           config.demod.iifac)
+    the refined shift plus the successful jiggle's offset (the same
+    jiggle schedule the decoders use — demod.finesync.jiggle_offsets)."""
+    off = jiggle_offsets(int(spot.jiggle) + 1, config.demod.iifac)
+    return int(spot.shift) + int(off[int(spot.jiggle)])
 
 
 def _replica(symbols: np.ndarray, freq: float,
@@ -228,4 +224,4 @@ def multipass_spots(window: np.ndarray, decode_fn,
 
 
 __all__ = ["subtract_spot", "multipass_spots", "spot_channel_symbols",
-           "spot_drift_offsets", "spot_lag", "jiggle_offset"]
+           "spot_drift_offsets", "spot_lag"]

@@ -9,52 +9,34 @@ from __future__ import annotations
 
 import ctypes
 import pathlib
-import subprocess
-import threading
 
 import numpy as np
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "stream_native.cc"
 _LIB = _DIR / "libuwspr_stream.so"
-_lock = threading.Lock()
-_lib = None
 
 
-def _build() -> None:
-    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC",
-           str(_SRC), "-o", str(_LIB)]
-    try:
-        subprocess.run(cmd[:1] + ["-march=native"] + cmd[1:], check=True,
-                       capture_output=True)
-    except subprocess.CalledProcessError:
-        subprocess.run(cmd, check=True, capture_output=True)
+def _configure(lib: ctypes.CDLL) -> None:
+    i64, i32, p = ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p
+    lib.uwspr_stream_create.argtypes = [i32, i64, i64, i32]
+    lib.uwspr_stream_create.restype = p
+    lib.uwspr_stream_destroy.argtypes = [p]
+    lib.uwspr_stream_push.argtypes = [p, p, i64]
+    lib.uwspr_stream_ready.argtypes = [p]
+    lib.uwspr_stream_ready.restype = i64
+    lib.uwspr_stream_dropped.argtypes = [p]
+    lib.uwspr_stream_dropped.restype = i64
+    lib.uwspr_stream_buffered.argtypes = [p, i32]
+    lib.uwspr_stream_buffered.restype = i64
+    lib.uwspr_stream_pop_batch.argtypes = [p, p, p, i64]
+    lib.uwspr_stream_pop_batch.restype = i64
+    lib.uwspr_stream_num_threads.restype = i32
 
 
 def _load() -> ctypes.CDLL:
-    global _lib
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            _build()
-        lib = ctypes.CDLL(str(_LIB))
-        i64, i32, p = ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p
-        lib.uwspr_stream_create.argtypes = [i32, i64, i64, i32]
-        lib.uwspr_stream_create.restype = p
-        lib.uwspr_stream_destroy.argtypes = [p]
-        lib.uwspr_stream_push.argtypes = [p, p, i64]
-        lib.uwspr_stream_ready.argtypes = [p]
-        lib.uwspr_stream_ready.restype = i64
-        lib.uwspr_stream_dropped.argtypes = [p]
-        lib.uwspr_stream_dropped.restype = i64
-        lib.uwspr_stream_buffered.argtypes = [p, i32]
-        lib.uwspr_stream_buffered.restype = i64
-        lib.uwspr_stream_pop_batch.argtypes = [p, p, p, i64]
-        lib.uwspr_stream_pop_batch.restype = i64
-        lib.uwspr_stream_num_threads.restype = i32
-        _lib = lib
-        return lib
+    from uwspr_tpu.utils.native_build import load_native
+    return load_native(_SRC, _LIB, _configure)
 
 
 class NativeWindower:

@@ -104,6 +104,7 @@ class StreamDecoder:
         out = self._device(window)
         r = DecodeResult(spots=self._device.spots(out, self.hashtable))
         r.n_candidates = int(out.valid.sum())
+        r.n_fano_attempts = int(out.fano_attempts)
         return r
 
     def _decode(self, window: np.ndarray) -> DecodeResult:
@@ -222,8 +223,10 @@ class BatchedStreamDecoder:
             one = out.window(w)
             r = DecodeResult(spots=self._device.spots(one, self.hashtable))
             r.n_candidates = int(one.valid.sum())
+            r.n_fano_attempts = int(one.fano_attempts)
             self.stats.windows += 1
             self.stats.candidates += r.n_candidates
+            self.stats.fano_attempts += r.n_fano_attempts
             self.stats.spots += len(r.spots)
             results.append((int(chans[w]), r))
         return results
@@ -251,17 +254,24 @@ class BatchedStreamDecoder:
 
 @dataclass
 class SpotAggregator:
-    """Dedupe spots across overlapping windows (same message+freq bucket)."""
+    """Dedupe spots across overlapping windows: same message within
+    tolerance_hz is the same transmission."""
 
     tolerance_hz: float = 1.5
     seen: dict = field(default_factory=dict)
     unique: list[Spot] = field(default_factory=list)
 
     def add(self, spot: Spot) -> bool:
-        key = (spot.message, round(spot.freq / self.tolerance_hz))
-        if key in self.seen:
-            return False
-        self.seen[key] = spot
+        # bucket by freq, but check the neighbor buckets with a real
+        # |delta f| comparison — two decodes 0.02 Hz apart must not pass
+        # as distinct just because they straddle a bucket edge
+        b = round(spot.freq / self.tolerance_hz)
+        for nb in (b - 1, b, b + 1):
+            prev = self.seen.get((spot.message, nb))
+            if prev is not None and (abs(prev.freq - spot.freq)
+                                     < self.tolerance_hz):
+                return False
+        self.seen[(spot.message, b)] = spot
         self.unique.append(spot)
         return True
 

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Deep-SNR decode-rate artifact with the OSD fallback -> SWEEP_OSD_r02.json.
+
+Reports, per SNR point: the Fano-only decode rate (the reference's
+algorithm), the rate with the osd_depth=4 fallback, and the FALSE-valid
+rate (windows where OSD emitted a wrong message that survives protocol
+unpacking) — below ~-30 dB the ML codeword of a too-noisy lane can be a
+wrong message, so the artifact reports the tradeoff honestly. OSD spots
+are tagged (Spot.osd) so consumers can apply known-callsign screening.
+
+Rates are platform-independent; run anywhere:
+
+    nohup timeout 7200 python scripts/sweep_osd_artifact.py &
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from uwspr_tpu.config import DemodConfig, PipelineConfig
+from uwspr_tpu.io.channel import awgn
+from uwspr_tpu.pipeline.decoder import WindowDecoder
+from uwspr_tpu.protocol.modulate import synthesize_frame
+
+TRIALS = 25
+SNRS = [-28.0, -29.0, -30.0, -31.0, -32.0]
+MSG = "VE3EMB FN25 30"
+DEPTH = 4
+
+
+def main():
+    base = WindowDecoder(PipelineConfig())
+    deep = WindowDecoder(PipelineConfig(
+        demod=DemodConfig(osd_depth=DEPTH)))
+    rows = []
+    for snr in SNRS:
+        n_fano = n_osd = n_false = 0
+        t0 = time.time()
+        for t in range(TRIALS):
+            rng = np.random.default_rng(31000 + t)
+            f = float(rng.uniform(-5, 5))
+            start = int(rng.integers(0, 750))
+            z = awgn(synthesize_frame("VE3EMB", "FN25", 30,
+                                      start_sample=start, freq_offset=f),
+                     snr, rng=rng)
+            fano_msgs = {s.message for s in base(z).spots}
+            n_fano += MSG in fano_msgs
+            spots = deep(z).spots
+            msgs = {s.message for s in spots}
+            n_osd += MSG in msgs
+            n_false += any(s.osd and s.message != MSG for s in spots)
+        rows.append({
+            "snr_db": snr,
+            "fano_rate": n_fano / TRIALS,
+            "osd_rate": n_osd / TRIALS,
+            "false_valid_rate": n_false / TRIALS,
+            "seconds": round(time.time() - t0, 1),
+        })
+        print(rows[-1], flush=True)
+
+    out = {
+        "harness": "scripts/sweep_osd_artifact.py",
+        "trials": TRIALS,
+        "seeds": f"31000..{31000 + TRIALS - 1}",
+        "osd_depth": DEPTH,
+        "snr_convention": "2500 Hz reference bandwidth",
+        "randomized": "freq offset +/-5 Hz, start 0..2 s per trial",
+        "note": ("fano_rate = the reference's sequential decoder alone; "
+                 "osd_rate adds the order-4 ordered-statistics fallback "
+                 "(fec/osd.py). false_valid_rate: wrong OSD message "
+                 "surviving protocol unpacking (tagged Spot.osd; screen "
+                 "against known callsigns below -30 dB)."),
+        "results": rows,
+    }
+    path = pathlib.Path(__file__).resolve().parents[1] / "SWEEP_OSD_r02.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,14 +42,24 @@ def _make_engine(args, ht):
     engine = args.engine
     if engine == "auto":
         engine = "device" if jax.default_backend() == "tpu" else "host"
+    config = _args_config(args)
     if engine in ("device", "hybrid"):
         from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
         dec = DeviceDecoder(
-            fano_mode="host" if engine == "hybrid" else "device")
+            config, fano_mode="host" if engine == "hybrid" else "device")
         return dec, lambda window: dec.spots(dec(window), ht), engine
     from uwspr_tpu.pipeline.decoder import WindowDecoder
-    dec = WindowDecoder(hashtable=ht)
+    dec = WindowDecoder(config, hashtable=ht)
     return dec, lambda window: dec(window).spots, "host"
+
+
+def _args_config(args):
+    """PipelineConfig from CLI tuning flags (None = library defaults)."""
+    osd = getattr(args, "osd_depth", 0)
+    if not osd:
+        return None
+    from uwspr_tpu.config import DemodConfig, PipelineConfig
+    return PipelineConfig(demod=DemodConfig(osd_depth=osd))
 
 
 
@@ -112,9 +122,10 @@ def _cmd_decode(args):
                     continue   # same message already seen in an
                                # overlapping window / adjacent candidate
                 total += 1
+                tag = f", osd{s.osd}" if s.osd else ""
                 print(f"{s.message}    (freq {s.freq:+.2f} Hz, SNR "
                       f"{s.snr:.1f} dB, sync {s.sync:.2f}, "
-                      f"{'nonlinear' if s.mode else 'linear'})")
+                      f"{'nonlinear' if s.mode else 'linear'}{tag})")
                 if logger:
                     logger.log(s)
     dt = time.time() - t0
@@ -179,7 +190,8 @@ def _cmd_sweep(args):
     if engine == "auto":
         engine = "device" if jax.default_backend() == "tpu" else "host"
     r = snr_sweep(snrs, trials=args.trials, interference=interference,
-                  progress=progress, seed=args.seed, engine=engine)
+                  progress=progress, seed=args.seed, engine=engine,
+                  config=_args_config(args))
     print("", file=sys.stderr)
     doc = {"trials": r.trials, "seed": args.seed, "engine": engine,
            "backend": jax.default_backend(),
@@ -472,6 +484,10 @@ def main(argv=None):
                         "decoding, like the reference c2file_source")
     d.add_argument("--trace-dir", default=None,
                    help="write an XLA profiler trace (TensorBoard format)")
+    d.add_argument("--osd-depth", type=int, default=0,
+                   help="ordered-statistics decoding fallback when Fano "
+                        "fails (deep-SNR; spots tagged 'osd' — below "
+                        "-30 dB cross-check calls externally)")
     d.add_argument("--passes", type=int, default=1,
                    help="successive-interference-cancellation passes: "
                         "decoded frames are re-synthesized at their refined "
@@ -514,6 +530,8 @@ def main(argv=None):
                    default="auto",
                    help="host = per-trial WindowDecoder; device = each "
                         "SNR point's trials batched in one TPU program")
+    s.add_argument("--osd-depth", type=int, default=0,
+                   help="OSD fallback order (0 = off)")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("-o", "--output", default=None,
                    help="also write the result JSON to this file")

@@ -66,6 +66,16 @@ class DemodConfig:
                                   # this many before the lockstep Fano (the
                                   # full 200x17 grid rarely passes gates;
                                   # overflow lanes report failure)
+    osd_depth: int = 0            # ordered-statistics decoding fallback for
+                                  # candidates whose gated lanes all failed
+                                  # Fano (fec/osd.py): 0 = off (reference
+                                  # behavior), 2..6 = flip-search order.
+                                  # Depth 4 lifts the deep-SNR tail (-29:
+                                  # 92->100%, -30: 44->76% measured) but
+                                  # below ~-30 dB the ML codeword can be a
+                                  # wrong message: OSD spots are tagged
+                                  # (Spot.osd) and should be cross-checked
+                                  # against known callsigns by consumers.
     refine_max_lanes: int = 0     # batched device decoder: compact the
                                   # post-worth refine stages (joint fine
                                   # grid + soft symbols) to this many worth

@@ -47,6 +47,9 @@ class Spot:
     fano_cycles: int = 0      # forward-look count consumed
     unpacked: Unpacked | None = None
     pass_index: int = 0       # multipass: which cancellation pass found it
+    osd: int = 0              # 0 = Fano decode; else the OSD search order
+                              # that produced it (deep-SNR fallback —
+                              # cross-check against known callsigns)
 
 
 @dataclass
@@ -111,6 +114,11 @@ class WindowDecoder:
                 continue
             js = np.flatnonzero(success[c])
             if len(js) == 0:
+                if cfg.demod.osd_depth > 0:
+                    spot = self._osd_fallback(c, cands, ref, flat_syms,
+                                              gate, sync2)
+                    if spot is not None:
+                        result.spots.append(spot)
                 continue
             j = int(js[0])                  # first success in jiggle order
             payload = bytes(data[c, j, :7])
@@ -136,6 +144,41 @@ class WindowDecoder:
                 unpacked=unpacked,
             ))
         return result
+
+
+    def _osd_fallback(self, c, cands, ref, flat_syms, gate, sync2):
+        """Ordered-statistics decode of candidate c's best gated lane —
+        the deep-SNR fallback when every Fano retry failed (fec/osd.py).
+        Accepts only payloads that survive protocol unpacking; the spot
+        is tagged with the OSD order (Spot.osd)."""
+        if not gate[c].any():
+            return None
+        from uwspr_tpu.fec.osd import osd_decode
+        from uwspr_tpu.protocol.fec_encode import bits_to_bytes
+        cfg = self.config
+        J = gate.shape[1]
+        j = int(np.argmax(np.where(gate[c], sync2[c], -np.inf)))
+        res = osd_decode(flat_syms[c * J + j], order=cfg.demod.osd_depth)
+        payload = bytes(bits_to_bytes(res.info_bits)[:7])
+        unpacked = unpack_message(payload, self.hashtable)
+        if unpacked is None:
+            return None
+        return Spot(
+            message=unpacked.text,
+            payload=payload,
+            freq=float(ref.freq[c]),
+            snr=float(cands.snr[c]),
+            sync=float(sync2[c, j]),
+            shift=int(ref.shift[c]),
+            drift=float(ref.drift[c]),
+            mode=int(cands.mode[c]),
+            slm_params=tuple(float(v) for v in cands.slm_params[c])
+            if cands.mode[c] == MODE_NONLINEAR else (),
+            candidate=int(c),
+            jiggle=j,
+            unpacked=unpacked,
+            osd=int(cfg.demod.osd_depth),
+        )
 
 
 def decode_c2_file(path, config: PipelineConfig | None = None) -> DecodeResult:

@@ -66,6 +66,9 @@ class DeviceDecoderOutput:
     fano_attempts: np.ndarray  # scalar: gated (candidate, jiggle) lanes
                                # this window (the reference's Fano retry
                                # count; load/capacity observability)
+    osd: np.ndarray            # per candidate: 0 = Fano decode, else the
+                               # OSD search order that recovered it
+                               # (hybrid engine deep-SNR fallback)
 
     def window(self, w: int) -> "DeviceDecoderOutput":
         """Select one window from a batched (leading axis W) output."""
@@ -196,6 +199,7 @@ class DeviceDecoder:
             payload=a[..., 13:20].astype(np.uint8),
             fano_overflow=a[..., 0, 20].astype(np.int32),
             fano_attempts=a[..., 0, 21].astype(np.int32),
+            osd=np.zeros(a.shape[:-1], np.int32),   # device path: Fano only
         )
 
     # -- coarse: device peak pick -----------------------------------------
@@ -749,6 +753,26 @@ class DeviceDecoder:
         jbest = np.argmax(success, axis=-1).astype(np.int32)  # first True
         wi, ci = np.indices((W, C))
         payload = data[wi, ci, jbest, :7]
+
+        # OSD fallback (deep-SNR): candidates whose gated lanes all failed
+        # Fano get an ordered-statistics decode of their best gated lane
+        osd = np.zeros((W, C), np.int32)
+        if dcfg.osd_depth > 0:
+            from uwspr_tpu.fec.osd import osd_decode
+            from uwspr_tpu.protocol.fec_encode import bits_to_bytes
+            from uwspr_tpu.protocol.messages import unpack_message
+            for w, c in zip(*np.nonzero(worth & ~any_s & gate.any(axis=-1))):
+                j = int(np.argmax(np.where(gate[w, c], sync2[w, c],
+                                           -np.inf)))
+                r = osd_decode(deint[w, c, j], order=dcfg.osd_depth)
+                pl = bytes(bits_to_bytes(r.info_bits)[:7])
+                if unpack_message(pl) is None:
+                    continue          # reject payloads that don't unpack
+                any_s[w, c] = True
+                payload[w, c] = np.frombuffer(pl, np.uint8)
+                jbest[w, c] = j
+                osd[w, c] = dcfg.osd_depth
+
         return DeviceDecoderOutput(
             success=(any_s & worth).reshape(*lead, C),
             payload=payload.reshape(*lead, C, 7),
@@ -766,6 +790,7 @@ class DeviceDecoder:
             fano_overflow=refine_overflow.reshape(lead),
             fano_attempts=gate.sum(axis=(1, 2)).astype(np.int32)
             .reshape(lead),
+            osd=osd.reshape(*lead, C),
         )
 
     def __call__(self, z: np.ndarray) -> DeviceDecoderOutput:
@@ -820,6 +845,7 @@ class DeviceDecoder:
                 candidate=int(c),
                 jiggle=int(out.jiggle[c]),
                 unpacked=u,
+                osd=int(out.osd[c]),
             ))
         return spots
 

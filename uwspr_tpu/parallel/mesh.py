@@ -280,7 +280,9 @@ class ShardedStreamDecoder:
                 if not host["success"][ch, w].any():
                     continue
                 one = DeviceDecoderOutput(
-                    **{k: host[k][ch, w] for k in host})
+                    **{k: host[k][ch, w] for k in host},
+                    # the sharded path runs the on-device Fano only
+                    osd=np.zeros(host["success"].shape[-1], np.int32))
                 for spot in self.dec.decoder.spots(one, self.hashtable):
                     results.append(
                         (ch, self.windows_emitted + w, spot))

@@ -69,11 +69,16 @@ def main():
     # samples/s vs 31.3M without, +8%). BENCH_REFINE_LANES overrides;
     # 0 disables (full W*C refine grid).
     lanes = int(os.environ.get("BENCH_REFINE_LANES", str(2 * N_WINDOWS)))
-    if lanes:
+    # Probe-correlation einsums as real bfloat16 matmuls with f32
+    # accumulation (DemodConfig.probe_dtype) — the MXU-native precision.
+    # Measured on v5e (same-session A/B, W=128): f32 33.8M -> bf16 37.0M
+    # samples/s, 128/128 decoded. BENCH_PROBE_DTYPE=f32 reverts.
+    dtype = os.environ.get("BENCH_PROBE_DTYPE", "bf16")
+    if lanes or dtype != "f32":
         from uwspr_tpu.config import DemodConfig, PipelineConfig
-        decoder = DeviceDecoder(
-            PipelineConfig(demod=DemodConfig(refine_max_lanes=lanes)))
-        log(f"refine_max_lanes: {lanes}")
+        decoder = DeviceDecoder(PipelineConfig(demod=DemodConfig(
+            refine_max_lanes=lanes, probe_dtype=dtype)))
+        log(f"refine_max_lanes: {lanes} probe_dtype: {dtype}")
     else:
         decoder = DeviceDecoder()
     windows, expected = make_windows(N_WINDOWS)

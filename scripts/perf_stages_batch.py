@@ -61,9 +61,12 @@ def main():
     # compaction (head-only programs), so only the full row (stage=None)
     # reflects it — compare its total against a compaction-off run.
     lanes = int(os.environ.get("UWSPR_REFINE_LANES", "0"))
-    cfg = PipelineConfig(demod=DemodConfig(refine_max_lanes=lanes))
+    # UWSPR_PROBE_DTYPE=bf16: probe einsums at the bench's MXU precision.
+    dtype = os.environ.get("UWSPR_PROBE_DTYPE", "f32")
+    cfg = PipelineConfig(demod=DemodConfig(refine_max_lanes=lanes,
+                                           probe_dtype=dtype))
     print("backend:", jax.default_backend(), jax.devices(), "W =", W,
-          "refine_lanes =", lanes, flush=True)
+          "refine_lanes =", lanes, "probe_dtype =", dtype, flush=True)
     ri = make_batch()
     prev = 0.0
     for stage in ["post_peaks", "post_coarse", "post_refine", "pre_fano", None]:

@@ -138,6 +138,54 @@ def test_sharded_stream_matches_single_device(stream_and_reference,
 
 
 @pytest.mark.slow
+def test_sharded_stream_hybrid_matches_single_device(stream_and_reference):
+    """engine="hybrid": each shard's XLA program stops at the sync/rms
+    gates and the gathered prefano decodes through the native host Fano —
+    the spot set must equal the all-device sharded engine (the host Fano
+    is bit-exact, so identical gates imply identical spots)."""
+    config, x, ref_spots, expected_msgs = stream_and_reference
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough virtual devices")
+    mesh = make_mesh(2, 4, devices=jax.devices()[:8])
+    dec = ShardedStreamDecoder(config, mesh, n_channels=4, engine="hybrid")
+    got = list(dec.push(x))
+    got.extend(dec.flush())
+    mesh_spots = {_spot_key(ch, w, s) for ch, w, s in got}
+    assert mesh_spots == ref_spots
+    assert expected_msgs <= {m for _, _, m in mesh_spots}
+
+
+@pytest.mark.slow
+def test_sharded_hybrid_osd_fallback():
+    """Deep-SNR fallback on the mesh: a frame whose gated lanes all bust a
+    crippled Fano budget must still decode via ordered-statistics decoding
+    in the hybrid mesh engine, tagged Spot.osd (the all-device mesh engine
+    has no OSD — this is the hybrid edition's reason to exist)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    config = PipelineConfig(
+        coarse=CoarseConfig(maxfreqs=4),
+        demod=DemodConfig(maxcycles=1, n_jiggles=3, osd_depth=2),
+        stream=StreamConfig(),
+    )
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    dec = ShardedStreamDecoder(config, mesh, n_channels=2, engine="hybrid")
+    hop, halo = dec.hop, dec.halo
+    rng = np.random.default_rng(11)
+    sigma = noise_sigma(-18.0)
+    n = dec.step_len + halo
+    x = (rng.normal(scale=sigma, size=(2, n))
+         + 1j * rng.normal(scale=sigma, size=(2, n))).astype(np.complex64)
+    f = synthesize_frame("VE3EMB", "FN25", 30, pad_to=None)
+    x[0, 100:100 + len(f)] += f
+    got = list(dec.push(x))
+    got.extend(dec.flush())
+    by = {(ch, s.message): s for ch, _, s in got}
+    assert (0, "VE3EMB FN25 30") in by, sorted(by)
+    assert by[(0, "VE3EMB FN25 30")].osd == 2
+
+
+@pytest.mark.slow
 def test_sharded_stream_checkpoint_resume(stream_and_reference):
     """Interrupting mid-stream and resuming from a checkpoint must yield
     the same spot set as an uninterrupted run."""

@@ -29,7 +29,11 @@ sharded; the host gathers only the (C, 7)-byte messages.
 multichannel stream on the host, feeds fixed-size hop-aligned steps
 through the sharded decode (passing the first fl-hop samples of the
 *next* step as the tail), unpacks spots, and supports checkpoint/resume
-like the single-host StreamDecoder.
+like the single-host StreamDecoder. Like the single-host decoder it has
+two engines: "device" (Fano inside the sharded XLA program) and "hybrid"
+(shards stop at the sync/rms gates; the gathered packed prefano runs
+through the native C++ host Fano with OSD fallback — the deep-SNR
+serving mode, see pipeline.jit_decoder fano_mode).
 """
 
 from __future__ import annotations
@@ -99,10 +103,17 @@ class ShardedDecoder:
     """
 
     def __init__(self, config: PipelineConfig | None = None,
-                 mesh: Mesh | None = None):
+                 mesh: Mesh | None = None, fano_mode: str = "device"):
+        # fano_mode "device": the whole decode (incl. Fano) runs in the
+        # sharded XLA program. "host" (the hybrid engine, mesh edition):
+        # each shard stops after the sync/rms gates and returns the packed
+        # prefano array; the host gathers it and runs the native C++ Fano
+        # (+ OSD fallback if configured) via _host_fano_assemble — same
+        # deep-SNR rationale as DeviceDecoder(fano_mode="host").
         self.config = config or PipelineConfig()
         self.mesh = mesh or make_mesh(len(jax.devices()), 1)
-        self.decoder = DeviceDecoder(self.config)
+        self.fano_mode = fano_mode
+        self.decoder = DeviceDecoder(self.config, fano_mode=fano_mode)
         self._step = None
 
     @property
@@ -121,27 +132,35 @@ class ShardedDecoder:
         fl, hop, halo = self.fl, self.hop, self.halo
         n_win = block_len // hop
         n_time = self.mesh.shape["time"]
-        prefano = self.decoder._prefano
-        fano_select_batch = self.decoder._fano_select_batch
+        decode_batched = self.decoder._decode_windows_batched
+        hybrid = self.fano_mode == "host"
 
         def shard_fn(x_ri, tail_ri):        # (ch_l, 2, block_len), (ch_l, 2, halo)
             ext_ri = extend_with_halo(x_ri, tail_ri, n_time=n_time,
                                       block_len=block_len, halo=halo)
-            ext = jnp.asarray(ext_ri[:, 0] + 1j * ext_ri[:, 1],
-                              dtype=jnp.complex64)      # (ch_l, block+halo)
-            # same batched structure as DeviceDecoder._decode_windows_batched:
-            # vmap the pre-Fano pipeline over every (channel, window) of the
-            # shard, then decode all gated lanes in ONE cross-window Fano
-            # batch (bit-identical to the per-window path, ~2x faster on a
-            # real chip — the probe einsums carry ch_l*n_win*C lanes).
+            # every (channel, window) of the shard through the SAME batched
+            # program as DeviceDecoder.decode_windows_ri (vmapped pre-Fano
+            # pipeline, refine-lane compaction if configured, one
+            # cross-window two-phase Fano batch) — the probe einsums carry
+            # ch_l*n_win*C lanes, keeping the MXU busy.
             starts = jnp.arange(n_win) * hop
             idx = starts[:, None] + jnp.arange(fl)[None, :]
-            wins = ext[:, idx].reshape(ch_local * n_win, fl)
-            pre = jax.vmap(prefano)(wins)
-            flat = fano_select_batch(pre)               # dict of (ch_l*n_win, ...)
-            out = {k: v.reshape((ch_local, n_win) + v.shape[1:])
-                   for k, v in flat.items()}
-            n_local = out["success"].sum()
+            wins_ri = (ext_ri[:, :, idx]                # (ch_l, 2, n_win, fl)
+                       .transpose(0, 2, 1, 3)
+                       .reshape(ch_local * n_win, 2, fl))
+            if hybrid:
+                packed = decode_batched(wins_ri)        # (W_l, C, 11+2J+162J)
+                out = {"prefano": packed.reshape(
+                    (ch_local, n_win) + packed.shape[1:])}
+                # spots are decided by the host Fano; the device-side count
+                # is the worth lanes (pending host decodes) for observability
+                n_local = ((packed[..., 0] > 0.5)
+                           & (packed[..., 1] > 0.5)).sum()
+            else:
+                flat = decode_batched(wins_ri, pack=False)
+                out = {k: v.reshape((ch_local, n_win) + v.shape[1:])
+                       for k, v in flat.items()}
+                n_local = out["success"].sum()
             n_global = jax.lax.psum(n_local, ("channel", "time"))
             return out, n_global
 
@@ -203,7 +222,9 @@ class ShardedDecoder:
 
         Returns (outputs dict of global arrays (channels, windows, C, ...),
         total_spots scalar). Window w along axis 1 starts at global sample
-        w*hop.
+        w*hop. fano_mode="host": the dict holds one key "prefano" (the
+        packed pre-Fano array for _host_fano_assemble) and the scalar
+        counts worth lanes (pending host decodes), not spots.
         """
         n_ch, n_t = self.mesh.shape["channel"], self.mesh.shape["time"]
         channels, total = x.shape
@@ -244,9 +265,17 @@ class ShardedStreamDecoder:
 
     def __init__(self, config: PipelineConfig | None = None,
                  mesh: Mesh | None = None, n_channels: int | None = None,
-                 wins_per_shard: int = 1, hashtable=None):
+                 wins_per_shard: int = 1, hashtable=None,
+                 engine: str = "device"):
+        # engine "device" | "hybrid" — same names/semantics as the
+        # single-host StreamDecoder: "hybrid" runs each shard's XLA
+        # program through the sync/rms gates and the native C++ Fano
+        # (+ OSD fallback, DemodConfig.osd_depth) on the host.
         from uwspr_tpu.protocol.messages import HashTable
-        self.dec = ShardedDecoder(config, mesh)
+        assert engine in ("device", "hybrid"), engine
+        self.engine = engine
+        self.dec = ShardedDecoder(
+            config, mesh, fano_mode="host" if engine == "hybrid" else "device")
         self.mesh = self.dec.mesh
         self.config = self.dec.config
         self.n_time = self.mesh.shape["time"]
@@ -268,27 +297,42 @@ class ShardedStreamDecoder:
     def halo(self) -> int:
         return self.dec.halo
 
-    def _emit(self, out, n_spots, n_windows: int):
+    def _emit(self, out, n_windows: int):
         """Gather one step's sharded outputs and unpack spots on the host.
 
-        Returns [(channel, global_window_index, Spot), ...].
+        Returns [(channel, global_window_index, Spot), ...]. Hybrid: the
+        gathered packed prefano runs through the native host Fano (+ OSD
+        fallback) before unpacking — one d2h array per step either way.
         """
-        host = {k: np.asarray(v) for k, v in out.items()}
+        host = {k: np.asarray(v)[:, :n_windows] for k, v in out.items()}
         results = []
-        for ch in range(self.n_channels):
-            for w in range(n_windows):
-                if not host["success"][ch, w].any():
-                    continue
-                one = DeviceDecoderOutput(
-                    **{k: host[k][ch, w] for k in host},
-                    # the sharded path runs the on-device Fano only
-                    osd=np.zeros(host["success"].shape[-1], np.int32))
-                for spot in self.dec.decoder.spots(one, self.hashtable):
-                    results.append(
-                        (ch, self.windows_emitted + w, spot))
+        n_spots = 0
+        if "prefano" in host:               # hybrid engine
+            asm = self.dec.decoder._host_fano_assemble(host["prefano"])
+            n_spots = int(asm.success.sum())
+            for ch in range(self.n_channels):
+                for w in range(n_windows):
+                    one = asm.window(ch).window(w)
+                    if not one.success.any():
+                        continue
+                    for spot in self.dec.decoder.spots(one, self.hashtable):
+                        results.append((ch, self.windows_emitted + w, spot))
+        else:
+            n_spots = int(host["success"].sum())
+            for ch in range(self.n_channels):
+                for w in range(n_windows):
+                    if not host["success"][ch, w].any():
+                        continue
+                    one = DeviceDecoderOutput(
+                        **{k: host[k][ch, w] for k in host},
+                        # the all-device sharded path runs the Fano only
+                        osd=np.zeros(host["success"].shape[-1], np.int32))
+                    for spot in self.dec.decoder.spots(one, self.hashtable):
+                        results.append(
+                            (ch, self.windows_emitted + w, spot))
         self.stats.steps += 1
         self.stats.windows += n_windows * self.n_channels
-        self.stats.spots += int(np.asarray(n_spots))
+        self.stats.spots += n_spots
         self.windows_emitted += n_windows
         return results
 
@@ -303,10 +347,10 @@ class ShardedStreamDecoder:
         while self._buf.shape[1] >= self.step_len + self.halo:
             x = self._buf[:, :self.step_len]
             tail = self._buf[:, self.step_len:self.step_len + self.halo]
-            out, n_spots = self.dec.decode(x, tail)
+            out, _ = self.dec.decode(x, tail)
             self._buf = self._buf[:, self.step_len:]
             n_windows = self.step_len // self.hop
-            results.extend(self._emit(out, n_spots, n_windows))
+            results.extend(self._emit(out, n_windows))
         return results
 
     def flush(self):
@@ -324,11 +368,7 @@ class ShardedStreamDecoder:
         padded[:, :true_len] = self._buf
         out, _ = self.dec.decode(padded[:, :self.step_len],
                                  padded[:, self.step_len:])
-        host = {k: np.asarray(v) for k, v in out.items()}
-        # recount spots over the kept windows only
-        kept = {k: v[:, :n_true] for k, v in host.items()}
-        n_spots = int(kept["success"].sum())
-        results = self._emit(kept, n_spots, n_true)
+        results = self._emit(out, n_true)   # spots recounted on kept windows
         self._buf = self._buf[:, n_true * self.hop:]
         return results
 

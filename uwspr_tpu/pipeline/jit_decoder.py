@@ -543,14 +543,19 @@ class DeviceDecoder:
                              slm_params, jbest, valid, fano_overflow,
                              gate.sum().astype(jnp.int32))
 
-    def _decode_windows_batched(self, ris: jnp.ndarray) -> jnp.ndarray:
+    def _decode_windows_batched(self, ris: jnp.ndarray, pack: bool = True):
         """(W, 2, fl) windows -> packed (W, C, 22) [device mode] or packed
         prefano (W, C, 11+2J+162J) [hybrid]. The pre-Fano pipeline is
         vmapped over windows (probe einsums carry W*C lanes instead of C,
         keeping the MXU busy); gated Fano lanes are compacted per window
         (identical overflow semantics to the per-window path) and decoded
         in ONE cross-window two-phase batch, so the while_loop dispatch
-        cost is paid per batch, not per window."""
+        cost is paid per batch, not per window.
+
+        pack=False (the sharded mesh path) returns the device-mode result
+        as the field dict instead of the packed array; hybrid always
+        returns the packed prefano (its consumer is _host_fano_assemble
+        either way)."""
         if self.config.demod.refine_max_lanes > 0 and not self.truncate_stage:
             head = jax.vmap(self._prefano_head_ri)(ris)
             pre = self._compact_refine_tail(head)
@@ -560,7 +565,8 @@ class DeviceDecoder:
             return pre["_t"].sum()
         if self.fano_mode == "host":
             return jax.vmap(self._pack_prefano)(pre)
-        return self._pack(self._fano_select_batch(pre))
+        out = self._fano_select_batch(pre)
+        return self._pack(out) if pack else out
 
     def _compact_refine_tail(self, head: dict) -> dict:
         """Cross-window compaction of the post-worth refine stages.

@@ -90,7 +90,7 @@ def main():
         vmapped over W (probe einsums carry W*C lanes, keeping the MXU
         busy) and all windows' gated lanes decode in ONE cross-window
         Fano batch (~1.9x over the round-1 serial lax.map).  The result
-        is ONE packed (W, C, 22) f32 array — a single d2h RPC (each
+        is ONE packed (W, C, 23) f32 array — a single d2h RPC (each
         fetched array costs ~30 ms on the tunneled runtime). The
         np.asarray d2h forces completion — block_until_ready is not
         reliable on all remote TPU runtimes."""

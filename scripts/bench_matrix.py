@@ -92,9 +92,13 @@ def row_golden():
 
 
 def row_wideband(n_windows=8, n_sig=10, snr_db=-15.0, seed=3):
+    # bf16 probes (the serving default); no refine-lane compaction here —
+    # a 10-signal wideband window has ~10+ worth lanes and noise lanes can
+    # clear minsync1, so a cap tight enough to save work risks dropping
+    # real decodes (the row asserts the decode count).
     cfg = PipelineConfig(
         coarse=CoarseConfig(halfbandwidth=187, maxfreqs=200),
-        demod=DemodConfig())
+        demod=DemodConfig(probe_dtype="bf16"))
     dec = DeviceDecoder(cfg)
     rng = np.random.default_rng(seed)
     sigma = noise_sigma(snr_db)
@@ -139,8 +143,10 @@ def row_channels(n_ch=256, snr_db=-18.0, seed=4, step=128):
     # n_ch channels stream through the compiled `step`-window batched
     # program in n_ch/step device steps (one 256-window program exceeds
     # v5e HBM: the vmapped pre-Fano pipeline keeps ~90 MB of probe/Fano
-    # state live per window).
-    dec = DeviceDecoder()
+    # state live per window). Same tuned config as bench.py: bf16 probe
+    # matmuls + cross-window refine-lane compaction at 2x windows.
+    dec = DeviceDecoder(PipelineConfig(demod=DemodConfig(
+        probe_dtype="bf16", refine_max_lanes=2 * step)))
     rng = np.random.default_rng(seed)
     windows = []
     for c in range(n_ch):

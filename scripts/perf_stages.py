@@ -123,7 +123,7 @@ def main():
 
     # full program
     t0 = time.perf_counter()
-    np.asarray(dec.decode_window_ri(ri))      # packed (C, 22) array
+    np.asarray(dec.decode_window_ri(ri))      # packed (C, 23) array
     print(f"full compile+run: {time.perf_counter() - t0:.1f} s", flush=True)
     t0 = time.perf_counter()
     reps = 10

@@ -92,3 +92,128 @@ def test_hybrid_engine_osd_fallback():
     by = {s.message: s for s in spots}
     assert MSG in by, sorted(by)
     assert by[MSG].osd == 4
+
+
+# ---- on-device OSD (fec/osd_jax.py) -----------------------------------
+
+
+def _quantized_soft(rng, nerr):
+    """A codeword's soft symbols with nerr flips at random positions, in
+    the uint8 Fano convention (shared by host and device paths)."""
+    bits = rng.integers(0, 2, 50).astype(np.uint8)
+    cw = encode_frame_bits(bits)
+    rel = rng.uniform(5, 100, 162)
+    soft = np.where(cw, 128 + rel, 128 - rel)
+    err = rng.choice(162, nerr, replace=False)
+    soft[err] = 256 - soft[err]
+    return np.clip(np.round(soft), 0, 255).astype(np.uint8), bits
+
+
+def test_device_osd_matches_host_osd():
+    """osd2_decode_jax must pick the exact same order-2 codeword (and
+    quality, and flip count) as the host fec/osd.osd_decode on identical
+    quantized lanes."""
+    import jax
+    import jax.numpy as jnp
+
+    from uwspr_tpu.fec.osd_jax import bits_to_payload, osd2_decode_jax
+    from uwspr_tpu.protocol.fec_encode import bits_to_bytes
+
+    G = generator_matrix()
+    f = jax.jit(lambda s: osd2_decode_jax(s, G))
+    rng = np.random.default_rng(5)
+    for _ in range(8):
+        soft, _ = _quantized_soft(rng, int(rng.integers(0, 12)))
+        ref = osd_decode(soft, order=2)
+        u, q, nf = f(jnp.asarray(soft, jnp.float32))
+        np.testing.assert_array_equal(np.asarray(u), ref.info_bits)
+        assert abs(float(q) - ref.quality) < 1e-3
+        assert int(nf) == ref.flips
+        pl = np.asarray(bits_to_payload(jnp.asarray(u)[None]))[0]
+        assert bytes(pl) == bytes(bits_to_bytes(ref.info_bits)[:7])
+
+
+def test_device_osd_quality_calibration():
+    """Documents the quality-margin landscape the config default relies
+    on (DemodConfig.osd_min_quality = 0.6): confident true rescues score
+    > 0.9, noise-only lanes land in ~0.6-0.75 — so 0.6 only rejects
+    degenerate lanes, and the authoritative noise screen is protocol
+    unpacking at spot egress."""
+    import jax
+    import jax.numpy as jnp
+
+    from uwspr_tpu.fec.osd_jax import osd2_decode_jax
+
+    G = generator_matrix()
+    f = jax.jit(lambda s: osd2_decode_jax(s, G))
+    rng = np.random.default_rng(9)
+    for _ in range(4):                       # confident rescues
+        bits = rng.integers(0, 2, 50).astype(np.uint8)
+        cw = encode_frame_bits(bits).astype(np.float64)
+        soft = np.clip(np.round(128 + (2 * cw - 1) * 40
+                                + rng.normal(0, 25, 162)), 0, 255)
+        u, q, _ = f(jnp.asarray(soft, jnp.float32))
+        assert np.array_equal(np.asarray(u), bits)
+        assert float(q) > 0.85, float(q)
+    for _ in range(6):                       # noise-only lanes
+        soft = np.clip(np.round(128 + rng.normal(0, 30, 162)), 0, 255)
+        _, q, _ = f(jnp.asarray(soft, jnp.float32))
+        assert 0.55 < float(q) < 0.8, float(q)
+
+
+def test_device_osd_noise_window_yields_no_spots():
+    """A noise-only window through the device engine with OSD enabled:
+    any OSD 'successes' on noise must be screened out at spot egress by
+    protocol unpacking (seeded; the false-valid rate is quantified in
+    SWEEP_OSD artifacts)."""
+    from uwspr_tpu.io.channel import noise_sigma
+    from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+
+    rng = np.random.default_rng(33)
+    sigma = noise_sigma(-14.0)
+    z = (rng.normal(scale=sigma, size=45000)
+         + 1j * rng.normal(scale=sigma, size=45000)).astype(np.complex64)
+    dec = DeviceDecoder(PipelineConfig(
+        demod=DemodConfig(maxcycles=64, n_jiggles=3, osd_depth=2)))
+    assert dec.spots(dec(z)) == []
+
+
+def test_device_engine_osd_fallback():
+    """The all-device engine: a frame whose gated lanes all bust a
+    crippled Fano budget is rescued by the in-program OSD, tagged
+    Spot.osd == 2 — no host round trip (the device analogue of
+    test_hybrid_engine_osd_fallback)."""
+    from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+
+    rng = np.random.default_rng(21)
+    z = awgn(synthesize_frame("VE3EMB", "FN25", 30, start_sample=500,
+                              freq_offset=1.0), -18.0, rng=rng)
+    crippled = DeviceDecoder(PipelineConfig(
+        demod=DemodConfig(maxcycles=1, n_jiggles=3)))
+    assert MSG not in {s.message for s in crippled.spots(crippled(z))}
+
+    dec = DeviceDecoder(PipelineConfig(
+        demod=DemodConfig(maxcycles=1, n_jiggles=3, osd_depth=2)))
+    by = {s.message: s for s in dec.spots(dec(z))}
+    assert MSG in by, sorted(by)
+    assert by[MSG].osd == 2
+
+
+def test_device_engine_osd_batched_windows():
+    """The vmapped window batch applies the cross-window OSD compaction:
+    every window's failed worth lane is rescued in one OSD batch."""
+    from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+
+    rng = np.random.default_rng(22)
+    zs = np.stack([
+        awgn(synthesize_frame("VE3EMB", "FN25", 30, start_sample=300 * w,
+                              freq_offset=float(w) - 1.0), -18.0, rng=rng)
+        for w in range(3)])
+    dec = DeviceDecoder(PipelineConfig(
+        demod=DemodConfig(maxcycles=1, n_jiggles=3, osd_depth=2)))
+    out = dec.decode_batch(zs)
+    for w in range(3):
+        one = out.window(w)
+        by = {s.message: s for s in dec.spots(one)}
+        assert MSG in by, (w, sorted(by))
+        assert by[MSG].osd == 2

@@ -76,6 +76,26 @@ class DemodConfig:
                                   # wrong message: OSD spots are tagged
                                   # (Spot.osd) and should be cross-checked
                                   # against known callsigns by consumers.
+    osd_max_lanes: int = 32       # device/mesh engines: Fano-failed worth
+                                  # lanes compacted to this many on-device
+                                  # order-<=2 OSD lanes per batch
+                                  # (fec/osd_jax.py); 0 disables device OSD
+                                  # even when osd_depth > 0. Overflow lanes
+                                  # degrade gracefully (no rescue) and
+                                  # count into fano_overflow. Host/hybrid
+                                  # engines have no lane cap (and honor
+                                  # osd_depth > 2).
+    osd_min_quality: float = 0.6  # device-OSD coarse screen: the
+                                  # reliability correlation of the winning
+                                  # codeword. Calibrated in tests/test_osd
+                                  # .py: noise lanes score ~0.65-0.72,
+                                  # marginal true rescues ~0.69+, confident
+                                  # ones >0.9 — so 0.6 only rejects
+                                  # degenerate lanes. The authoritative
+                                  # screen is protocol unpacking at host
+                                  # egress (spots()/messages() drop
+                                  # osd-tagged payloads that fail to
+                                  # unpack, like the host engines).
     refine_max_lanes: int = 0     # batched device decoder: compact the
                                   # post-worth refine stages (joint fine
                                   # grid + soft symbols) to this many worth
@@ -86,11 +106,14 @@ class DemodConfig:
                                   # surface in fano_overflow.
     probe_dtype: str = "f32"      # device-decoder probe einsums: "f32", or
                                   # "bf16" (4 real bf16 matmuls, f32
-                                  # accumulation). Measured ~7% faster on
-                                  # v5e (3.40 vs 3.65 ms/window, W=128) —
-                                  # the probe stage is bank-construction/
-                                  # HBM-bound, not matmul-bound — so f32
-                                  # stays the default.
+                                  # accumulation — the MXU-native
+                                  # precision; ~0.4% relative correlation
+                                  # error). At the compacted W=128
+                                  # operating point bf16 measured 33.8M ->
+                                  # 37.0M samples/s on v5e and is the
+                                  # bench/serving default (bench.py); f32
+                                  # remains the config default for
+                                  # bit-parity with the host oracles.
 
     @property
     def minrms(self) -> float:    # plausibility gate: 52 * symfac/64

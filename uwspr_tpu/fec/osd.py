@@ -18,10 +18,14 @@ Order-2 OSD here evaluates 1 + 50 + 1225 candidates with three small
 dense matrix products — microseconds on the host per failed lane.
 
 Acceptance: OSD ALWAYS returns some codeword, so callers must gate false
-decodes. ``OsdResult.quality`` is the reliability-weighted margin
-described at :func:`osd_decode`; values >= ~0.35 are overwhelmingly true
-decodes (calibrated in tests/test_osd.py against noise-only lanes), and
-the message must additionally survive protocol unpacking.
+decodes. ``OsdResult.quality`` is the reliability-weighted correlation
+described at :func:`osd_decode`; noise-only lanes score ~0.65-0.72 at
+order 2 (the flip search optimizes the correlation, so even noise looks
+correlated), marginal true rescues start ~0.69 and confident ones exceed
+0.9 (calibrated in tests/test_osd.py) — quality alone cannot separate
+the boundary region, so the authoritative screen everywhere is protocol
+unpacking of the 50-bit payload (plus known-callsign screening by
+consumers, as SWEEP_OSD artifacts quantify).
 """
 
 from __future__ import annotations

@@ -1,0 +1,134 @@
+"""On-device ordered-statistics decoding (order <= 2) as one XLA program.
+
+The host OSD (fec/osd.py) gives the hybrid/host engines their deep-SNR
+fallback; this module is the same algorithm restructured for the TPU so
+the all-device and sharded-mesh engines can apply it without host round
+trips. The reference (michelbarbeau/gr-uwspr) has only the Fano decoder.
+
+Structure (everything fixed-shape, vmappable over failed lanes):
+
+- reliability sort: one argsort over the 162 soft symbols;
+- most-reliable information set: greedy GF(2) row basis — instead of the
+  host's per-row elimination walk (162 x 50 sequential steps), 50 rounds
+  of full-column elimination: each round pivots on the FIRST (most
+  reliable) still-unselected nonzero row and eliminates its leading
+  column everywhere, which selects exactly the greedy independent set;
+- (50, 50) GF(2) inversion: 50 Gauss-Jordan rounds;
+- candidate scoring: the order-1/order-2 flip search is two small dense
+  matmuls, identical to the host formulation (fec/osd.py:134-151).
+
+GF(2) products use int32 matmuls (exact: inner dim <= 162) masked with
+& 1. Acceptance is by the reliability-correlation quality margin (the
+host path additionally screens via protocol unpacking; device callers
+apply the same screen when spots are unpacked on the host).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N, K = 162, 50
+
+
+def _basis_select(Gp: jnp.ndarray) -> jnp.ndarray:
+    """First K linearly independent rows of the reliability-ordered
+    generator Gp (N, K) int32 {0,1} — greedy in row order, as a (K,)
+    index vector (ascending row order, matching fec/osd._gf2_basis)."""
+    rows = jnp.arange(N)
+
+    def step(_, st):
+        R, selected = st
+        nonzero = (R.sum(axis=1) > 0) & ~selected
+        i = jnp.argmax(nonzero)               # first unselected nonzero row
+        row = R[i]
+        c = jnp.argmax(row)                   # its leading column
+        elim = (R[:, c] > 0) & (rows != i)
+        R = jnp.where(elim[:, None], R ^ row[None, :], R)
+        return R, selected.at[i].set(True)
+
+    _, selected = jax.lax.fori_loop(
+        0, K, step, (Gp, jnp.zeros(N, bool)))
+    return jnp.argsort(~selected, stable=True)[:K]
+
+
+def _gf2_inv(A: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of an invertible (K, K) GF(2) matrix, int32 {0,1}."""
+    rows = jnp.arange(K)
+    M = jnp.concatenate([A, jnp.eye(K, dtype=A.dtype)], axis=1)  # (K, 2K)
+
+    def step(col, M):
+        piv = jnp.argmax((M[:, col] > 0) & (rows >= col))
+        rowc, rowp = M[col], M[piv]
+        M = M.at[col].set(rowp)
+        M = M.at[piv].set(jnp.where(piv == col, rowp, rowc))
+        elim = (M[:, col] > 0) & (rows != col)
+        return jnp.where(elim[:, None], M ^ M[col][None, :], M)
+
+    M = jax.lax.fori_loop(0, K, step, M)
+    return M[:, K:]
+
+
+def osd2_decode_jax(soft: jnp.ndarray, G: np.ndarray, order: int = 2):
+    """One lane: soft (162,) float32 in the Fano convention (>=128 means
+    coded bit 1, |x-128| is the reliability) -> (info_bits (50,) int32,
+    quality float32, flips int32). Same candidate set and strict-<
+    preference order as the host fec/osd.osd_decode at order <= 2."""
+    assert order in (1, 2)
+    Gj = jnp.asarray(G, jnp.int32)
+    y = soft - 128.0
+    h = (y >= 0)
+    r = jnp.abs(y)
+    idx = jnp.argsort(-r, stable=True)
+    sel = idx[_basis_select(Gj[idx])]         # information-set positions
+
+    A = Gj[sel]                               # (K, K), invertible
+    Ainv = _gf2_inv(A)
+    u0 = (Ainv @ h[sel].astype(jnp.int32)) & 1
+    D = (Gj @ Ainv) & 1                       # codeword delta per basis flip
+    c0 = (Gj @ u0) & 1
+    m0 = c0 != h.astype(jnp.int32)
+    s = r * (1.0 - 2.0 * m0)
+    score0 = jnp.sum(r * m0)
+
+    Df = D.astype(jnp.float32)
+    w = s @ Df                                # (K,) order-1 score deltas
+    p1 = jnp.argmin(w)
+    s_best = score0
+    flips = jnp.zeros(K, jnp.int32)
+    n_flips = jnp.int32(0)
+    take1 = score0 + w[p1] < s_best
+    s_best = jnp.where(take1, score0 + w[p1], s_best)
+    flips = jnp.where(take1, flips.at[p1].add(1), flips)
+    n_flips = jnp.where(take1, 1, n_flips)
+
+    if order >= 2:
+        M2 = (Df * s[:, None]).T @ Df         # (K, K)
+        pair = score0 + w[:, None] + w[None, :] - 2.0 * M2
+        pair = jnp.where(jnp.triu(jnp.ones((K, K), bool), k=1),
+                         pair, jnp.inf)
+        flat = jnp.argmin(pair)
+        p2, q2 = flat // K, flat % K
+        take2 = pair[p2, q2] < s_best
+        s_best = jnp.where(take2, pair[p2, q2], s_best)
+        pairvec = jnp.zeros(K, jnp.int32).at[p2].add(1).at[q2].add(1)
+        flips = jnp.where(take2, pairvec, flips)
+        n_flips = jnp.where(take2, 2, n_flips)
+
+    u = (u0 + Ainv @ flips) & 1
+    total = jnp.maximum(jnp.sum(r), 1e-9)
+    quality = (total - 2.0 * s_best) / total
+    return u, quality, n_flips
+
+
+def bits_to_payload(u: jnp.ndarray) -> jnp.ndarray:
+    """(..., 50) info bits -> (..., 7) uint8, MSB-first per byte with the
+    trailing 6 bits zero (protocol.fec_encode.bits_to_bytes layout)."""
+    pad = jnp.zeros(u.shape[:-1] + (6,), u.dtype)
+    b = jnp.concatenate([u, pad], axis=-1).reshape(u.shape[:-1] + (7, 8))
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return (b * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+__all__ = ["osd2_decode_jax", "bits_to_payload"]

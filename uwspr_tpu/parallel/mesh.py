@@ -324,9 +324,7 @@ class ShardedStreamDecoder:
                     if not host["success"][ch, w].any():
                         continue
                     one = DeviceDecoderOutput(
-                        **{k: host[k][ch, w] for k in host},
-                        # the all-device sharded path runs the Fano only
-                        osd=np.zeros(host["success"].shape[-1], np.int32))
+                        **{k: host[k][ch, w] for k in host})
                     for spot in self.dec.decoder.spots(one, self.hashtable):
                         results.append(
                             (ch, self.windows_emitted + w, spot))

@@ -67,8 +67,10 @@ class DeviceDecoderOutput:
                                # this window (the reference's Fano retry
                                # count; load/capacity observability)
     osd: np.ndarray            # per candidate: 0 = Fano decode, else the
-                               # OSD search order that recovered it
-                               # (hybrid engine deep-SNR fallback)
+                               # OSD search order that recovered it — the
+                               # deep-SNR fallback (on-device order <= 2
+                               # via fec/osd_jax.py; host/hybrid engines
+                               # any order via fec/osd.py)
 
     def window(self, w: int) -> "DeviceDecoderOutput":
         """Select one window from a batched (leading axis W) output."""
@@ -121,10 +123,18 @@ class DeviceDecoder:
         self._sync_bit = SYNC_VECTOR.astype(bool)
         self._mettab = np.asarray(FANO_METTAB)
         self._perm = np.asarray(INTERLEAVE_PERM)
+        # on-device OSD fallback (fec/osd_jax.py) — static branch: when
+        # osd_depth == 0 (the default) no OSD code enters the program
+        if (self.config.demod.osd_depth > 0
+                and self.config.demod.osd_max_lanes > 0):
+            from uwspr_tpu.fec.osd import generator_matrix
+            self._osd_G = np.asarray(generator_matrix(), np.int32)
+        else:
+            self._osd_G = None
         dcfg = self.config.demod
         from uwspr_tpu.demod.finesync import jiggle_offsets
         self._jiggles = jiggle_offsets(dcfg.n_jiggles, dcfg.iifac)
-        # The jitted entry points return ONE packed (C, 22) f32 array, not
+        # The jitted entry points return ONE packed (C, 23) f32 array, not
         # the field dict: on remote TPU runtimes every fetched array is its
         # own ~30 ms d2h RPC, so 11 result arrays cost more than the whole
         # decode. unpack_output() recovers the typed fields on the host.
@@ -153,7 +163,8 @@ class DeviceDecoder:
     # column layout (all exactly representable in f32):
     #   0 success  1 valid  2 freq  3 snr  4 sync  5 shift  6 drift
     #   7 mode  8 jiggle  9:13 slm_params  13:20 payload  20 fano_overflow
-    #   21 fano_attempts (gated lanes this window)
+    #   21 fano_attempts (gated lanes this window)  22 osd (0 = Fano,
+    #   else the on-device OSD order that rescued the candidate)
 
     @staticmethod
     def _pack(out: dict) -> jnp.ndarray:
@@ -179,11 +190,12 @@ class DeviceDecoder:
             [head, out["slm_params"].astype(jnp.float32),
              out["payload"].astype(jnp.float32),
              percol(out["fano_overflow"]),
-             percol(out["fano_attempts"])], axis=-1)
+             percol(out["fano_attempts"]),
+             out["osd"].astype(jnp.float32)[..., None]], axis=-1)
 
     @staticmethod
     def unpack_output(a: np.ndarray) -> DeviceDecoderOutput:
-        """Packed (..., C, 22) f32 -> typed DeviceDecoderOutput."""
+        """Packed (..., C, 23) f32 -> typed DeviceDecoderOutput."""
         a = np.asarray(a)
         return DeviceDecoderOutput(
             success=a[..., 0] > 0.5,
@@ -199,7 +211,7 @@ class DeviceDecoder:
             payload=a[..., 13:20].astype(np.uint8),
             fano_overflow=a[..., 0, 20].astype(np.int32),
             fano_attempts=a[..., 0, 21].astype(np.int32),
-            osd=np.zeros(a.shape[:-1], np.int32),   # device path: Fano only
+            osd=a[..., 22].astype(np.int32),
         )
 
     # -- coarse: device peak pick -----------------------------------------
@@ -501,10 +513,16 @@ class DeviceDecoder:
             any_success = succ0
             jbest = jnp.zeros(C, jnp.int32)
             payload = data0[:, :7]
+            osd = None
+            if self._osd_G is not None:
+                any_success, payload, jbest, osd, dropped = self._osd_rescue(
+                    pre, deint, any_success, payload, jbest)
+                fano_overflow = fano_overflow + dropped.sum().astype(
+                    jnp.int32)
             return self._outputs(any_success & worth, payload, f1, snr,
                                  sync2[cidx, jbest], shift1, drift1, mode,
                                  slm_params, jbest, valid, fano_overflow,
-                                 gate0.sum().astype(jnp.int32))
+                                 gate0.sum().astype(jnp.int32), osd=osd)
 
         # phase 2: remaining jiggles, masked off where phase 1 succeeded
         R = C * (J - 1)
@@ -538,13 +556,18 @@ class DeviceDecoder:
         any_success = jnp.any(success, axis=1)
         jbest = jnp.argmax(success, axis=1)                   # first True
         payload = data[cidx, jbest, :7]
+        osd = None
+        if self._osd_G is not None:
+            any_success, payload, jbest, osd, dropped = self._osd_rescue(
+                pre, deint, any_success, payload, jbest)
+            fano_overflow = fano_overflow + dropped.sum().astype(jnp.int32)
         return self._outputs(any_success & worth, payload, f1, snr,
                              sync2[cidx, jbest], shift1, drift1, mode,
                              slm_params, jbest, valid, fano_overflow,
-                             gate.sum().astype(jnp.int32))
+                             gate.sum().astype(jnp.int32), osd=osd)
 
     def _decode_windows_batched(self, ris: jnp.ndarray, pack: bool = True):
-        """(W, 2, fl) windows -> packed (W, C, 22) [device mode] or packed
+        """(W, 2, fl) windows -> packed (W, C, 23) [device mode] or packed
         prefano (W, C, 11+2J+162J) [hybrid]. The pre-Fano pipeline is
         vmapped over windows (probe einsums carry W*C lanes instead of C,
         keeping the MXU busy); gated Fano lanes are compacted per window
@@ -677,17 +700,24 @@ class DeviceDecoder:
             any_success = jnp.any(success, axis=2)
             jbest = jnp.argmax(success, axis=2)              # first True
             payload = data[widx, cidx, jbest][..., :7]
+        osd = None
+        if self._osd_G is not None:
+            any_success, payload, jbest, osd, dropped = self._osd_rescue(
+                pre, deint, any_success, payload, jbest)
+            fano_overflow = fano_overflow + dropped.sum(axis=-1).astype(
+                jnp.int32)
         sync = pre["sync2"][widx, cidx, jbest]
         return self._outputs(any_success & pre["worth"], payload,
                              pre["freq"], pre["snr"], sync, pre["shift"],
                              pre["drift"], pre["mode"], pre["slm_params"],
                              jbest, pre["valid"], fano_overflow,
-                             gate.sum(axis=(1, 2)).astype(jnp.int32))
+                             gate.sum(axis=(1, 2)).astype(jnp.int32),
+                             osd=osd)
 
     @staticmethod
     def _outputs(success, payload, freq, snr, sync, shift, drift, mode,
                  slm_params, jbest, valid, fano_overflow,
-                 fano_attempts) -> dict:
+                 fano_attempts, osd=None) -> dict:
         return {
             "success": success,
             "payload": payload,
@@ -702,7 +732,66 @@ class DeviceDecoder:
             "valid": valid,
             "fano_overflow": fano_overflow,
             "fano_attempts": fano_attempts,
+            "osd": jnp.zeros_like(jbest, dtype=jnp.int32)
+            if osd is None else osd.astype(jnp.int32),
         }
+
+    def _osd_rescue(self, pre: dict, deint: jnp.ndarray,
+                    any_success: jnp.ndarray, payload: jnp.ndarray,
+                    jbest: jnp.ndarray):
+        """On-device OSD fallback (fec/osd_jax.py): worth candidates whose
+        gated Fano lanes ALL failed get an order-<=2 ordered-statistics
+        decode of their most-synced gated jiggle lane. Failed lanes across
+        the whole batch are compacted to DemodConfig.osd_max_lanes (the
+        deep-SNR tail is sparse); lanes beyond the cap degrade gracefully
+        (no rescue) and surface in the returned dropped mask. Acceptance
+        is the reliability-correlation margin >= DemodConfig
+        .osd_min_quality — the host engines screen by protocol unpacking
+        instead (jit programs cannot), and unpacking still re-screens
+        device-OSD spots on the host at egress.
+
+        Shapes: pre fields (..., C[, J]); returns (any_success, payload,
+        jbest, osd, dropped) with the same leading shape."""
+        import functools
+        import operator
+
+        from uwspr_tpu.fec.osd_jax import bits_to_payload, osd2_decode_jax
+
+        dcfg = self.config.demod
+        gate, worth, sync2 = pre["gate"], pre["worth"], pre["sync2"]
+        lead = gate.shape[:-1]                  # (..., C)
+        J = gate.shape[-1]
+        L = functools.reduce(operator.mul, lead, 1)
+        gate_f = gate.reshape(L, J)
+        fail = (worth.reshape(L) & gate_f.any(-1)
+                & ~any_success.reshape(L))                      # (L,)
+        jsel = jnp.argmax(jnp.where(gate_f, sync2.reshape(L, J),
+                                    -jnp.inf), axis=-1)         # (L,)
+        soft = jnp.take_along_axis(
+            deint.reshape(L, J, 162), jsel[:, None, None], axis=1)[:, 0]
+
+        ML = min(dcfg.osd_max_lanes, L)
+        order = min(dcfg.osd_depth, 2)
+        sel = jnp.argsort(~fail, stable=True)[:ML]
+        lanes = soft[sel].astype(jnp.float32)
+        u, q, _ = jax.vmap(
+            lambda s: osd2_decode_jax(s, self._osd_G, order))(lanes)
+        ok = fail[sel] & (q >= dcfg.osd_min_quality)
+        pl = bits_to_payload(u)                                 # (ML, 7)
+
+        pay_f = payload.reshape(L, payload.shape[-1])
+        pay_f = pay_f.at[sel].set(
+            jnp.where(ok[:, None], pl[:, :pay_f.shape[-1]], pay_f[sel]))
+        jb_f = jbest.reshape(L)
+        jb_f = jb_f.at[sel].set(
+            jnp.where(ok, jsel[sel].astype(jb_f.dtype), jb_f[sel]))
+        acc = jnp.zeros(L, bool).at[sel].set(ok)
+        osd = jnp.zeros(L, jnp.int32).at[sel].set(
+            jnp.where(ok, order, 0))
+        dropped = fail & ~jnp.zeros(L, bool).at[sel].set(True)
+        return ((any_success.reshape(L) | acc).reshape(lead),
+                pay_f.reshape(payload.shape), jb_f.reshape(lead),
+                osd.reshape(lead), dropped.reshape(lead))
 
     def _host_fano_assemble(self, a: np.ndarray) -> DeviceDecoderOutput:
         """Packed prefano (..., C, 11+2J+162J) -> Fano on the host (native
@@ -830,13 +919,20 @@ class DeviceDecoder:
         return msgs
 
     def spots(self, out: DeviceDecoderOutput, hashtable=None) -> list:
-        """DeviceDecoderOutput -> list[pipeline.decoder.Spot] (host unpack)."""
+        """DeviceDecoderOutput -> list[pipeline.decoder.Spot] (host unpack).
+
+        On-device OSD candidates whose payload fails protocol unpacking
+        are dropped here — the authoritative false-decode screen the jit
+        program cannot apply (matching the host engines' acceptance,
+        pipeline/decoder._osd_fallback)."""
         from uwspr_tpu.pipeline.decoder import Spot
         from uwspr_tpu.protocol.messages import unpack_message
         spots = []
         for c in np.flatnonzero(out.success):
             payload = bytes(out.payload[c])
             u = unpack_message(payload, hashtable)
+            if u is None and int(out.osd[c]) > 0:
+                continue
             spots.append(Spot(
                 message=u.text if u is not None else "",
                 payload=payload,

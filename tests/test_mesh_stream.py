@@ -156,11 +156,14 @@ def test_sharded_stream_hybrid_matches_single_device(stream_and_reference):
 
 
 @pytest.mark.slow
-def test_sharded_hybrid_osd_fallback():
+@pytest.mark.parametrize("engine", ["hybrid", "device"])
+def test_sharded_osd_fallback(engine):
     """Deep-SNR fallback on the mesh: a frame whose gated lanes all bust a
-    crippled Fano budget must still decode via ordered-statistics decoding
-    in the hybrid mesh engine, tagged Spot.osd (the all-device mesh engine
-    has no OSD — this is the hybrid edition's reason to exist)."""
+    crippled Fano budget must still decode via ordered-statistics decoding,
+    tagged Spot.osd — through the host OSD (fec/osd.py) on the hybrid
+    engine, and through the in-program device OSD (fec/osd_jax.py) on the
+    all-device engine (both run the same shared batched program up to the
+    Fano stage)."""
     if len(jax.devices()) < 4:
         pytest.skip("not enough virtual devices")
     config = PipelineConfig(
@@ -169,7 +172,7 @@ def test_sharded_hybrid_osd_fallback():
         stream=StreamConfig(),
     )
     mesh = make_mesh(2, 2, devices=jax.devices()[:4])
-    dec = ShardedStreamDecoder(config, mesh, n_channels=2, engine="hybrid")
+    dec = ShardedStreamDecoder(config, mesh, n_channels=2, engine=engine)
     hop, halo = dec.hop, dec.halo
     rng = np.random.default_rng(11)
     sigma = noise_sigma(-18.0)

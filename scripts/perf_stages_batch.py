@@ -69,7 +69,8 @@ def main():
           "refine_lanes =", lanes, "probe_dtype =", dtype, flush=True)
     ri = make_batch()
     prev = 0.0
-    for stage in ["post_peaks", "post_coarse", "post_refine", "pre_fano", None]:
+    for stage in ["post_peaks", "post_coarse", "post_phase_a", "post_head",
+                  "post_refine", "pre_fano", None]:
         dec = DeviceDecoder(cfg, truncate_stage=stage)
         t0 = time.perf_counter()
         np.asarray(dec.decode_windows_ri(ri))

@@ -339,6 +339,8 @@ class DeviceDecoder:
         fi2 = jnp.argmax(s[cidx, :, li], axis=1)      # stage 1: freq @ lag
         f1 = freq_grid[cidx, fi2].astype(jnp.float32)
         sync1 = s[cidx, fi2, li]
+        if self.truncate_stage == "post_phase_a":
+            return {"_t": sync1.sum() + f1.sum() + shift1.sum()}
 
         # phase B: window centered on the refined lag; reach 96 covers the
         # fine-lag (+/-32) and jiggle (+/-64) probes, block=128 alignment
@@ -365,6 +367,12 @@ class DeviceDecoder:
         updm = is_lin & ~updp & (sm_ > sync1)
         drift1 = jnp.where(updp, driftp, jnp.where(updm, driftm, drift1))
         sync1 = jnp.where(updp, sp, jnp.where(updm, sm_, sync1))
+        if self.truncate_stage == "post_head":
+            # the real(...)+imag(...) sums force the phase-B window build
+            # (gather + overlap rows) at ~one full read of Amat2 — cheap
+            # relative to the stages it separates
+            return {"_t": sync1.sum() + drift1.sum()
+                    + jnp.real(Amat2).sum() + jnp.imag(Amat2).sum()}
         return {
             "valid": valid, "snr": snr, "freq": f1, "shift": shift1,
             "drift": drift1, "mode": mode, "slm_params": slm_params,

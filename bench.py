@@ -74,11 +74,20 @@ def main():
     # Measured on v5e (same-session A/B, W=128): f32 33.8M -> bf16 37.0M
     # samples/s, 128/128 decoded. BENCH_PROBE_DTYPE=f32 reverts.
     dtype = os.environ.get("BENCH_PROBE_DTYPE", "bf16")
-    if lanes or dtype != "f32":
+    # Cross-window Fano-lane compaction (DemodConfig.fano_compact_lanes):
+    # the lockstep decoder pays branch metrics + while-loop state for
+    # every static lane; gathering the ~1-gated-lane-per-window batch to
+    # 2x windows total lanes (vs W*C phase-1 + W*C*16 phase-2 lanes)
+    # shrinks that state ~100x with identical results.
+    # BENCH_FANO_LANES=0 reverts to per-window compaction.
+    fano_lanes = int(os.environ.get("BENCH_FANO_LANES", str(2 * N_WINDOWS)))
+    if lanes or fano_lanes or dtype != "f32":
         from uwspr_tpu.config import DemodConfig, PipelineConfig
         decoder = DeviceDecoder(PipelineConfig(demod=DemodConfig(
-            refine_max_lanes=lanes, probe_dtype=dtype)))
-        log(f"refine_max_lanes: {lanes} probe_dtype: {dtype}")
+            refine_max_lanes=lanes, probe_dtype=dtype,
+            fano_compact_lanes=fano_lanes)))
+        log(f"refine_max_lanes: {lanes} probe_dtype: {dtype} "
+            f"fano_compact_lanes: {fano_lanes}")
     else:
         decoder = DeviceDecoder()
     windows, expected = make_windows(N_WINDOWS)

@@ -240,6 +240,63 @@ def test_refine_compaction_matches_full():
     assert o2.success.sum() <= o0.success.sum()
 
 
+def test_fano_compaction_matches_per_window():
+    """fano_compact_lanes > 0 (cross-window gather of gated Fano lanes
+    into one small batch per phase) must reproduce the per-window-compacted
+    batch exactly: same successes, payloads, jiggle selection, and overflow
+    accounting. Lanes beyond the cap degrade gracefully and are counted."""
+    import jax.numpy as jnp
+
+    from uwspr_tpu.demod.finesync import complex_to_ri
+
+    rng = np.random.default_rng(23)
+    wins = []
+    for w in range(5):
+        z = synthesize_frame("VE3EMB", "FN25", 30,
+                             start_sample=int(rng.integers(0, 2500)),
+                             freq_offset=float(rng.uniform(-5, 5)))
+        if w == 2:   # two frames in one window -> two gated lanes
+            z = z + synthesize_frame("K1ABC", "FN42", 37, start_sample=400,
+                                     freq_offset=-6.0, pad_to=45000)
+        if w == 4:   # noise only -> no gated lanes
+            z = 0 * z
+        wins.append(awgn(z, (-18, -22, -16, -24, -30)[w], rng=rng))
+    ri = jnp.asarray(np.stack([complex_to_ri(z) for z in wins]))
+
+    base = PipelineConfig(demod=DemodConfig(maxcycles=2000))
+    comp = PipelineConfig(demod=DemodConfig(maxcycles=2000,
+                                            fano_compact_lanes=10))
+    d0 = DeviceDecoder(base)
+    d1 = DeviceDecoder(comp)
+    o0 = d0.unpack_output(np.asarray(d0.decode_windows_ri(ri)))
+    o1 = d1.unpack_output(np.asarray(d1.decode_windows_ri(ri)))
+    np.testing.assert_array_equal(o0.success, o1.success)
+    np.testing.assert_array_equal(o0.payload[o0.success],
+                                  o1.payload[o1.success])
+    np.testing.assert_array_equal(o0.jiggle, o1.jiggle)
+    np.testing.assert_array_equal(o0.fano_overflow, o1.fano_overflow)
+    assert int(o0.success.sum()) >= 4   # every non-noise window decoded
+
+    # composes with refine-lane compaction (the bench operating point)
+    both = PipelineConfig(demod=DemodConfig(maxcycles=2000,
+                                            refine_max_lanes=10,
+                                            fano_compact_lanes=10))
+    d2 = DeviceDecoder(both)
+    o2 = d2.unpack_output(np.asarray(d2.decode_windows_ri(ri)))
+    np.testing.assert_array_equal(o0.success, o2.success)
+    np.testing.assert_array_equal(o0.payload[o0.success],
+                                  o2.payload[o2.success])
+
+    # cap smaller than the gated-lane count: graceful degradation, and
+    # every dropped gated lane lands in the per-window overflow counter
+    tiny = PipelineConfig(demod=DemodConfig(maxcycles=2000,
+                                            fano_compact_lanes=1))
+    d3 = DeviceDecoder(tiny)
+    o3 = d3.unpack_output(np.asarray(d3.decode_windows_ri(ri)))
+    assert int(o3.success.sum()) < int(o0.success.sum())
+    assert int(o3.fano_overflow.sum()) >= 1
+
+
 def test_probe_dtype_bf16_decodes():
     """probe_dtype="bf16" (real bf16 matmuls, f32 accumulation) must decode
     the same frames as f32 at operating SNR."""

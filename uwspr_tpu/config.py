@@ -66,6 +66,20 @@ class DemodConfig:
                                   # this many before the lockstep Fano (the
                                   # full 200x17 grid rarely passes gates;
                                   # overflow lanes report failure)
+    fano_compact_lanes: int = 0   # batched device decoder: compact gated
+                                  # Fano lanes ACROSS the window batch to
+                                  # this many total lanes per phase (0 =
+                                  # per-window fano_max_lanes compaction
+                                  # only). The lockstep decoder pays the
+                                  # branch-metric matmul and while-loop
+                                  # state for every STATIC lane; at the
+                                  # serving point ~1 of W*C jiggle-0 lanes
+                                  # and ~0 of W*C*(J-1) retry lanes are
+                                  # gated, so a cross-window gather (like
+                                  # refine_max_lanes) shrinks the batch
+                                  # ~100x with identical results. Dropped
+                                  # overflow lanes surface per-window in
+                                  # fano_overflow.
     osd_depth: int = 0            # ordered-statistics decoding fallback for
                                   # candidates whose gated lanes all failed
                                   # Fano (fec/osd.py): 0 = off (reference

@@ -647,6 +647,30 @@ class DeviceDecoder:
             .sum(axis=1).astype(jnp.int32),
         }
 
+    def _compact_fano(self, gate_flat: jnp.ndarray, deint_flat: jnp.ndarray,
+                      cap: int):
+        """Gated lanes anywhere in the flat batch -> ONE compacted Fano
+        batch (the cross-window analogue of the per-window fano_max_lanes
+        gather). The lockstep decoder pays its branch-metric matmul and
+        while-loop state for every static lane, active or not, so
+        shrinking W*C (or W*C*(J-1)) lanes to the few actually-gated ones
+        is nearly free throughput. Returns (success (N,), data (N, nbytes),
+        dropped (N,) bool) scattered back to the input shape; lanes beyond
+        ``cap`` degrade gracefully (reported undecoded) via ``dropped``."""
+        dcfg = self.config.demod
+        N = gate_flat.shape[0]
+        FL = min(cap, N)
+        sel = jnp.argsort(~gate_flat, stable=True)[:FL]
+        g = gate_flat[sel]
+        out = fano_decode_batch_jax(deint_flat[sel], self._mettab, g,
+                                    maxcycles=dcfg.maxcycles,
+                                    delta=dcfg.fano_delta)
+        succ = jnp.zeros(N, bool).at[sel].set(out["success"] & g)
+        nbytes = out["data"].shape[1]
+        data = jnp.zeros((N, nbytes), jnp.uint8).at[sel].set(out["data"])
+        dropped = gate_flat & ~jnp.zeros(N, bool).at[sel].set(True)
+        return succ, data, dropped
+
     def _fano_select_batch(self, pre: dict) -> dict:
         dcfg = self.config.demod
         W, C, J = pre["gate"].shape
@@ -654,24 +678,38 @@ class DeviceDecoder:
         cidx = jnp.arange(C)[None, :]
         gate = pre["gate"]
         deint = pre["deint"].astype(jnp.int32)               # (W, C, J, 162)
+        compact = dcfg.fano_compact_lanes
 
         # phase 1: jiggle-0 lanes of every window, one flat batch
-        ML1 = min(dcfg.fano_max_lanes, C)
         gate0 = gate[:, :, 0]                                # (W, C)
-        sel1 = jnp.argsort(~gate0, axis=1, stable=True)[:, :ML1]
-        g1 = jnp.take_along_axis(gate0, sel1, axis=1)        # (W, ML1)
-        d1 = deint[widx, sel1, 0]                            # (W, ML1, 162)
-        out1 = fano_decode_batch_jax(d1.reshape(W * ML1, 162), self._mettab,
-                                     g1.reshape(W * ML1),
-                                     maxcycles=dcfg.maxcycles,
-                                     delta=dcfg.fano_delta)
-        succ1 = out1["success"].reshape(W, ML1) & g1
-        nbytes = out1["data"].shape[1]
-        data1 = out1["data"].reshape(W, ML1, nbytes)
-        succ0 = jnp.zeros((W, C), bool).at[widx, sel1].set(succ1)
-        data0 = jnp.zeros((W, C, nbytes), jnp.uint8).at[widx, sel1].set(data1)
-        overflow0 = (jnp.maximum(gate0.sum(axis=1) - ML1, 0)
-                     + pre.get("refine_overflow", jnp.zeros(W, jnp.int32)))
+        if compact > 0:
+            succ0f, data0f, drop1 = self._compact_fano(
+                gate0.reshape(W * C), deint[:, :, 0].reshape(W * C, 162),
+                compact)
+            succ0 = succ0f.reshape(W, C)
+            nbytes = data0f.shape[-1]
+            data0 = data0f.reshape(W, C, nbytes)
+            overflow0 = (drop1.reshape(W, C).sum(axis=1)
+                         + pre.get("refine_overflow",
+                                   jnp.zeros(W, jnp.int32)))
+        else:
+            ML1 = min(dcfg.fano_max_lanes, C)
+            sel1 = jnp.argsort(~gate0, axis=1, stable=True)[:, :ML1]
+            g1 = jnp.take_along_axis(gate0, sel1, axis=1)    # (W, ML1)
+            d1 = deint[widx, sel1, 0]                        # (W, ML1, 162)
+            out1 = fano_decode_batch_jax(d1.reshape(W * ML1, 162),
+                                         self._mettab, g1.reshape(W * ML1),
+                                         maxcycles=dcfg.maxcycles,
+                                         delta=dcfg.fano_delta)
+            succ1 = out1["success"].reshape(W, ML1) & g1
+            nbytes = out1["data"].shape[1]
+            data1 = out1["data"].reshape(W, ML1, nbytes)
+            succ0 = jnp.zeros((W, C), bool).at[widx, sel1].set(succ1)
+            data0 = (jnp.zeros((W, C, nbytes), jnp.uint8)
+                     .at[widx, sel1].set(data1))
+            overflow0 = (jnp.maximum(gate0.sum(axis=1) - ML1, 0)
+                         + pre.get("refine_overflow",
+                                   jnp.zeros(W, jnp.int32)))
 
         if J == 1:
             fano_overflow = overflow0.astype(jnp.int32)
@@ -681,30 +719,37 @@ class DeviceDecoder:
         else:
             # phase 2: remaining jiggles where phase 1 failed, one batch
             R = C * (J - 1)
-            ML2 = min(dcfg.fano_max_lanes, R)
             gate_rest = (gate[:, :, 1:] & ~succ0[:, :, None]).reshape(W, R)
-            sel2 = jnp.argsort(~gate_rest, axis=1, stable=True)[:, :ML2]
-            g2 = jnp.take_along_axis(gate_rest, sel2, axis=1)
-            drest = deint[:, :, 1:].reshape(W, R, 162)
-            d2 = drest[widx, sel2]                           # (W, ML2, 162)
-            out2 = fano_decode_batch_jax(d2.reshape(W * ML2, 162),
-                                         self._mettab, g2.reshape(W * ML2),
-                                         maxcycles=dcfg.maxcycles,
-                                         delta=dcfg.fano_delta)
-            succ2 = out2["success"].reshape(W, ML2) & g2
-            data2 = out2["data"].reshape(W, ML2, nbytes)
-            succ_rest = jnp.zeros((W, R), bool).at[widx, sel2].set(succ2)
-            data_rest = (jnp.zeros((W, R, nbytes), jnp.uint8)
-                         .at[widx, sel2].set(data2))
+            if compact > 0:
+                succrf, datarf, drop2 = self._compact_fano(
+                    gate_rest.reshape(W * R),
+                    deint[:, :, 1:].reshape(W * R, 162), compact)
+                succ_rest = succrf.reshape(W, R)
+                data_rest = datarf.reshape(W, R, nbytes)
+                over2 = drop2.reshape(W, R).sum(axis=1)
+            else:
+                ML2 = min(dcfg.fano_max_lanes, R)
+                sel2 = jnp.argsort(~gate_rest, axis=1, stable=True)[:, :ML2]
+                g2 = jnp.take_along_axis(gate_rest, sel2, axis=1)
+                drest = deint[:, :, 1:].reshape(W, R, 162)
+                d2 = drest[widx, sel2]                       # (W, ML2, 162)
+                out2 = fano_decode_batch_jax(d2.reshape(W * ML2, 162),
+                                             self._mettab,
+                                             g2.reshape(W * ML2),
+                                             maxcycles=dcfg.maxcycles,
+                                             delta=dcfg.fano_delta)
+                succ2 = out2["success"].reshape(W, ML2) & g2
+                data2 = out2["data"].reshape(W, ML2, nbytes)
+                succ_rest = jnp.zeros((W, R), bool).at[widx, sel2].set(succ2)
+                data_rest = (jnp.zeros((W, R, nbytes), jnp.uint8)
+                             .at[widx, sel2].set(data2))
+                over2 = jnp.maximum(gate_rest.sum(axis=1) - ML2, 0)
             success = jnp.concatenate(
                 [succ0[:, :, None], succ_rest.reshape(W, C, J - 1)], axis=2)
             data = jnp.concatenate(
                 [data0[:, :, None],
                  data_rest.reshape(W, C, J - 1, nbytes)], axis=2)
-            fano_overflow = (
-                overflow0
-                + jnp.maximum(gate_rest.sum(axis=1) - ML2, 0)
-            ).astype(jnp.int32)
+            fano_overflow = (overflow0 + over2).astype(jnp.int32)
             any_success = jnp.any(success, axis=2)
             jbest = jnp.argmax(success, axis=2)              # first True
             payload = data[widx, cidx, jbest][..., :7]

@@ -95,10 +95,12 @@ def row_wideband(n_windows=8, n_sig=10, snr_db=-15.0, seed=3):
     # bf16 probes (the serving default); no refine-lane compaction here —
     # a 10-signal wideband window has ~10+ worth lanes and noise lanes can
     # clear minsync1, so a cap tight enough to save work risks dropping
-    # real decodes (the row asserts the decode count).
+    # real decodes (the row asserts the decode count). Fano-lane
+    # compaction is safe at a generous cap: ~10 gated jiggle-0 lanes per
+    # window x 8 windows << 512, and overflow is observable.
     cfg = PipelineConfig(
         coarse=CoarseConfig(halfbandwidth=187, maxfreqs=200),
-        demod=DemodConfig(probe_dtype="bf16"))
+        demod=DemodConfig(probe_dtype="bf16", fano_compact_lanes=512))
     dec = DeviceDecoder(cfg)
     rng = np.random.default_rng(seed)
     sigma = noise_sigma(snr_db)
@@ -146,7 +148,8 @@ def row_channels(n_ch=256, snr_db=-18.0, seed=4, step=128):
     # state live per window). Same tuned config as bench.py: bf16 probe
     # matmuls + cross-window refine-lane compaction at 2x windows.
     dec = DeviceDecoder(PipelineConfig(demod=DemodConfig(
-        probe_dtype="bf16", refine_max_lanes=2 * step)))
+        probe_dtype="bf16", refine_max_lanes=2 * step,
+        fano_compact_lanes=2 * step)))
     rng = np.random.default_rng(seed)
     windows = []
     for c in range(n_ch):

@@ -63,10 +63,16 @@ def main():
     lanes = int(os.environ.get("UWSPR_REFINE_LANES", "0"))
     # UWSPR_PROBE_DTYPE=bf16: probe einsums at the bench's MXU precision.
     dtype = os.environ.get("UWSPR_PROBE_DTYPE", "f32")
+    # UWSPR_FANO_LANES=<n>: cross-window Fano-lane compaction
+    # (DemodConfig.fano_compact_lanes); like refine compaction, only the
+    # full row (stage=None) reflects it.
+    fano_lanes = int(os.environ.get("UWSPR_FANO_LANES", "0"))
     cfg = PipelineConfig(demod=DemodConfig(refine_max_lanes=lanes,
-                                           probe_dtype=dtype))
+                                           probe_dtype=dtype,
+                                           fano_compact_lanes=fano_lanes))
     print("backend:", jax.default_backend(), jax.devices(), "W =", W,
-          "refine_lanes =", lanes, "probe_dtype =", dtype, flush=True)
+          "refine_lanes =", lanes, "probe_dtype =", dtype,
+          "fano_lanes =", fano_lanes, flush=True)
     ri = make_batch()
     prev = 0.0
     for stage in ["post_peaks", "post_coarse", "post_phase_a", "post_head",

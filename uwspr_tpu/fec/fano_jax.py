@@ -32,8 +32,14 @@ _U32 = jnp.uint32
 
 # Primitive fano steps per while-loop iteration. The loop-control +
 # condition-sync overhead dominates the (masked, idempotent) body on TPU:
-# measured in the full window decode, unroll 4 -> 16 cut 54 ms/window.
-WHILE_UNROLL = 16
+# measured in the full window decode, unroll 4 -> 16 cut 54 ms/window;
+# with cross-window lane compaction (256-lane batches) the v5e bench
+# measured 16 -> 32 +3.3% and 32 -> 64 −8% (overshoot past the ~90-160
+# steps a typical lane needs), so 32 is the default.
+# UWSPR_FANO_UNROLL overrides (perf A/B harness).
+import os as _os
+
+WHILE_UNROLL = int(_os.environ.get("UWSPR_FANO_UNROLL", "32"))
 
 
 def _branch_symbol(state: jnp.ndarray) -> jnp.ndarray:

@@ -327,8 +327,13 @@ class DeviceDecoder:
         drift1 = drift
         dsym = self._drift_offsets(mode, drift1, slm_params)
 
-        # phase A: window covering the coarse-lag reach (+/-128)
-        Amat1, base1 = make_shared_probe(z, shift1, reach=128, W=768)
+        # phase A: window covering the coarse-lag reach (+/-128).
+        # block=128 alignment admits W=640 (vs 768 at block=256: the
+        # window must absorb reach + alignment slack, 2*128+256+127) —
+        # every probe still reads the same masked 256 columns, and the
+        # derotation/bank/einsum passes are all ~linear in W.
+        Amat1, base1 = make_shared_probe(z, shift1, reach=128, W=640,
+                                         block=128)
         zd1 = probe_derotate(Amat1, dsym)
         lag_grid = shift1[:, None] + jnp.arange(-128, 129, 64)[None, :]
         freq_grid = f1[:, None] + (jnp.arange(-2, 3) * 0.25)[None, :]

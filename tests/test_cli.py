@@ -84,3 +84,44 @@ def test_serve_follow_c2_repeat(reference_examples):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "VE3EMB FN25 30" in r.stdout
     assert "windows" in r.stderr
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("extra,expect_engine", [
+    # default --engine auto resolves to hybrid on the CPU grid (the
+    # full-budget device Fano would straggle into XLA:CPU's 40 s
+    # collective-rendezvous abort; on TPU auto = device via Pallas)
+    ([], "hybrid"),
+    # the all-device sharded engine, budget bounded for the CPU grid
+    (["--engine", "device", "--maxcycles", "128", "--jiggles", "3"],
+     "device"),
+])
+def test_serve_mesh_stdin(extra, expect_engine):
+    """serve --mesh CxT: the multi-chip receiver application. A frame on
+    stdin flows through the (channel, time)-sharded decoder on the virtual
+    CPU grid and decodes across a real sharded step (ppermute halo) with
+    the same message as single-device serving (VERDICT r2 item 3)."""
+    import numpy as np
+    sys.path.insert(0, str(REPO))
+    from uwspr_tpu.protocol.modulate import synthesize_frame
+
+    z = np.zeros(100000, np.complex64)
+    f = synthesize_frame("K1ABC", "FN42", 37, start_sample=900,
+                         freq_offset=1.5, pad_to=None)
+    z[900:900 + len(f)] = f
+    iq = np.empty(2 * len(z), dtype="<f4")
+    iq[0::2], iq[1::2] = z.real, z.imag
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "uwspr_tpu.cli", "--platform", "cpu",
+         "serve", "--input", "-", "--format", "cf32",
+         "--mesh", "1x4", "--wins-per-shard", "1", "--channels", "1",
+         *extra],
+        input=iq.tobytes(), capture_output=True, timeout=900, cwd=REPO,
+        env=env)
+    assert r.returncode == 0, r.stderr[-2000:].decode()
+    assert b"K1ABC FN42 37" in r.stdout
+    assert f"mesh 1x4 ({expect_engine})".encode() in r.stderr

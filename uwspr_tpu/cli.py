@@ -55,11 +55,17 @@ def _make_engine(args, ht):
 
 def _args_config(args):
     """PipelineConfig from CLI tuning flags (None = library defaults)."""
-    osd = getattr(args, "osd_depth", 0)
-    if not osd:
+    overrides = {}
+    if getattr(args, "osd_depth", 0):
+        overrides["osd_depth"] = args.osd_depth
+    if getattr(args, "maxcycles", None):
+        overrides["maxcycles"] = args.maxcycles
+    if getattr(args, "jiggles", None):
+        overrides["n_jiggles"] = args.jiggles
+    if not overrides:
         return None
     from uwspr_tpu.config import DemodConfig, PipelineConfig
-    return PipelineConfig(demod=DemodConfig(osd_depth=osd))
+    return PipelineConfig(demod=DemodConfig(**overrides))
 
 
 
@@ -289,12 +295,87 @@ def _file_source(args, hop):
         yield chunk[None, :]
 
 
+def _parse_mesh(spec: str):
+    """'CxT' -> (n_channel, n_time) with a helpful error."""
+    try:
+        c, t = spec.lower().split("x")
+        c, t = int(c), int(t)
+        assert c >= 1 and t >= 1
+        return c, t
+    except (ValueError, AssertionError):
+        raise SystemExit(f"--mesh expects CxT (e.g. 2x4), got {spec!r}")
+
+
+def _cmd_serve_mesh(args, channels, external, ht, logger, source, info):
+    """serve --mesh CxT: the multi-chip receiver application — the stream
+    is sharded over a (channel, time) jax mesh and decoded by
+    ShardedStreamDecoder (SURVEY.md §7.1.8/9: serve at 1 chip / 1 host /
+    N hosts; reference flagship examples/AudioSourceDecode.grc)."""
+    import jax
+    from uwspr_tpu.parallel.mesh import ShardedStreamDecoder, make_mesh
+
+    if args.runtime == "native":
+        raise SystemExit("--mesh uses the sharded XLA runtime; drop "
+                         "--runtime native")
+    if getattr(args, "passes", 1) > 1:
+        raise SystemExit("--passes is a single-device (python runtime) "
+                         "feature; drop it for --mesh")
+    engine = args.engine
+    if engine == "auto":
+        # device engine on TPU: the Pallas Fano kernel bounds even a
+        # full-budget deep-SNR batch at well under a second. On the CPU
+        # grid the while-loop Fano inside the sharded program makes shards
+        # reach the closing psum minutes apart, tripping XLA:CPU's 40 s
+        # collective-rendezvous abort — hybrid (host Fano) is the safe
+        # default there; --engine device still honored for small budgets.
+        engine = "device" if jax.default_backend() == "tpu" else "hybrid"
+    elif engine not in ("device", "hybrid"):
+        raise SystemExit("--mesh serves through the sharded XLA engines; "
+                         "use --engine device or hybrid")
+    n_ch, n_time = _parse_mesh(args.mesh)
+    if len(jax.devices()) < n_ch * n_time:
+        raise SystemExit(f"--mesh {args.mesh} needs {n_ch * n_time} "
+                         f"devices, have {len(jax.devices())}")
+    if channels % n_ch:
+        raise SystemExit(f"--channels {channels} must be a multiple of the "
+                         f"mesh channel axis {n_ch}")
+    mesh = make_mesh(n_ch, n_time)
+    sd = ShardedStreamDecoder(config=_args_config(args), mesh=mesh,
+                              n_channels=channels,
+                              wins_per_shard=args.wins_per_shard,
+                              hashtable=ht, engine=engine)
+    t0 = time.time()
+    for block in source:
+        for ch, w, s in sd.push(np.broadcast_to(
+                block, (channels, block.shape[-1]))
+                if block.shape[0] != channels else block):
+            print(f"ch{ch} w{w}: {s.message} ({s.freq:+.2f} Hz)", flush=True)
+            if logger:
+                logger.log(s)
+    for ch, w, s in sd.flush():
+        print(f"ch{ch} w{w}: {s.message} ({s.freq:+.2f} Hz)", flush=True)
+        if logger:
+            logger.log(s)
+    dt = time.time() - t0
+    st = sd.stats
+    sent = f"{info['sent']} frames sent, " if not external else ""
+    print(f"# mesh {n_ch}x{n_time} ({engine}): {st.steps} steps, "
+          f"{st.windows} windows, {sent}{st.spots} spots, "
+          f"{st.windows * 45000 / max(dt, 1e-9):.0f} window-samples/s",
+          file=sys.stderr)
+    if logger:
+        logger.close()
+    if args.hashtable:
+        ht.save(args.hashtable)
+
+
 def _cmd_serve(args):
     """Continuous receiver: decode a live or synthetic multichannel stream.
 
     --input synthetic (default) generates closed-loop traffic; '-' reads
     raw samples from stdin; a .c2/.wav path follows the file (--repeat to
-    loop). External inputs are single-channel."""
+    loop). External inputs are single-channel (replicated across --channels
+    under --mesh)."""
     from uwspr_tpu.pipeline.stream import StreamDecoder
     from uwspr_tpu.protocol.messages import HashTable
     from uwspr_tpu.utils.spotlog import SpotLogger
@@ -302,6 +383,21 @@ def _cmd_serve(args):
     external = args.input != "synthetic"
     channels = 1 if external else args.channels
     ht = HashTable.load(args.hashtable) if args.hashtable else HashTable()
+    if args.mesh:
+        logger = (SpotLogger(args.messagelog, args.jsonl, args.spots,
+                             args.allwspr)
+                  if (args.messagelog or args.jsonl or args.spots
+                      or args.allwspr) else None)
+        if external:
+            channels = max(1, args.channels)
+        # hop for source blocking (config defaults; mesh decoder re-derives)
+        hop = 9 * 375
+        info = {"sent": 0}
+        source = (_synthetic_source(args, hop, info) if not external
+                  else _stdin_source(args, hop) if args.input == "-"
+                  else _file_source(args, hop))
+        return _cmd_serve_mesh(args, channels, external, ht, logger,
+                               source, info)
     if args.runtime == "native":
         if getattr(args, "passes", 1) > 1:
             raise SystemExit("--passes requires --runtime python "
@@ -554,6 +650,22 @@ def main(argv=None):
                    default="python",
                    help="native = C++ ingest/windowing + fixed-width "
                         "batched XLA decode (BatchedStreamDecoder)")
+    v.add_argument("--mesh", default=None, metavar="CxT",
+                   help="serve through a (channel, time) device mesh via "
+                        "ShardedStreamDecoder — the multi-chip receiver "
+                        "(e.g. 2x4; channels sharded, the time axis "
+                        "decodes hop blocks with ppermute halo exchange)")
+    v.add_argument("--wins-per-shard", type=int, default=4,
+                   help="windows decoded per time shard per mesh step "
+                        "(larger amortizes the halo exchange; adds "
+                        "step latency)")
+    v.add_argument("--maxcycles", type=int, default=None,
+                   help="Fano budget in cycles/bit (default: the reference "
+                        "10000; smaller trades deep-SNR sensitivity for "
+                        "bounded worst-case step latency)")
+    v.add_argument("--jiggles", type=int, default=None,
+                   help="time-jiggle retry attempts per candidate "
+                        "(default: the reference 17)")
     v.add_argument("--batch", type=int, default=8,
                    help="windows per XLA batch for --runtime native")
     v.add_argument("--passes", type=int, default=1,

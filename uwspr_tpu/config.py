@@ -118,6 +118,23 @@ class DemodConfig:
                                   # stages on sync1 > minsync1 per candidate
                                   # (impl.cc:443); dropped overflow lanes
                                   # surface in fano_overflow.
+    fano_impl: str = "auto"       # on-device Fano implementation:
+                                  # "pallas" — the VMEM-resident Mosaic
+                                  # kernel (fec/fano_pallas.py): the whole
+                                  # sequential search runs inside one
+                                  # kernel at ~0.3 us/step per 128-lane
+                                  # block, so even a full-budget deep-SNR
+                                  # timeout batch is bounded at well under
+                                  # a second (measured 0.42 s for 128
+                                  # all-timeout lanes at maxcycles=10000
+                                  # on v5e). "while" — the XLA
+                                  # lax.while_loop formulation (portable;
+                                  # ~ms per unrolled iteration of HBM
+                                  # round trips, so full-budget lanes
+                                  # degrade to minutes — only safe with
+                                  # small maxcycles). "auto" = pallas on
+                                  # TPU, while elsewhere. Bit-exact either
+                                  # way (tests/test_fano_pallas.py).
     probe_dtype: str = "f32"      # device-decoder probe einsums: "f32", or
                                   # "bf16" (4 real bf16 matmuls, f32
                                   # accumulation — the MXU-native

@@ -36,10 +36,15 @@ _U32 = jnp.uint32
 # with cross-window lane compaction (256-lane batches) the v5e bench
 # measured 16 -> 32 +3.3% and 32 -> 64 −8% (overshoot past the ~90-160
 # steps a typical lane needs), so 32 is the default.
-# UWSPR_FANO_UNROLL overrides (perf A/B harness).
+# UWSPR_FANO_UNROLL overrides (perf A/B harness only; read once at import,
+# parsed defensively — a malformed value falls back to the default instead
+# of crashing module import. Documented in docs/ARCHITECTURE.md §3.)
 import os as _os
 
-WHILE_UNROLL = int(_os.environ.get("UWSPR_FANO_UNROLL", "32"))
+try:
+    WHILE_UNROLL = max(1, int(_os.environ.get("UWSPR_FANO_UNROLL", "32")))
+except ValueError:
+    WHILE_UNROLL = 32
 
 
 def _branch_symbol(state: jnp.ndarray) -> jnp.ndarray:
@@ -47,6 +52,42 @@ def _branch_symbol(state: jnp.ndarray) -> jnp.ndarray:
     p1 = jax.lax.population_count(state & _U32(POLY1)) & _U32(1)
     p2 = jax.lax.population_count(state & _U32(POLY2)) & _U32(1)
     return ((p1 << 1) | p2).astype(jnp.int32)
+
+
+def branch_metrics(symbols: jnp.ndarray, mettab: jnp.ndarray,
+                   nbits: int) -> jnp.ndarray:
+    """(L, 2*nbits) soft symbols -> (L, nbits, 4) int32 branch metrics,
+    metrics[l, k, j] with j = (poly1_bit<<1)|poly2_bit.
+
+    Table lookups m[b][y] as a one-hot matmul: a 256-entry scalar gather
+    over L*nbits indices runs ~15x slower on TPU than the MXU contraction
+    (measured 84 ms vs a few ms per 26k-lane batch). Exactness: each
+    output row is a dot with exactly one nonzero (1.0) term, and the
+    table values are integers |v| <= 137 < 2^8 — exactly representable
+    in bfloat16 — so bf16 one-hot/table inputs with the MXU's f32
+    accumulation give a result bit-identical to the gather at half the
+    one-hot HBM footprint (and 2x the MXU rate) of an f32/HIGHEST
+    formulation.
+    """
+    L = symbols.shape[0]
+    y0 = symbols[:, 0::2]                      # (L, nbits)
+    y1 = symbols[:, 1::2]
+    m = mettab.astype(jnp.int32)               # (2, 256)
+    yy = jnp.stack([y0, y1])                   # (2, L, nbits)
+    oh = jax.nn.one_hot(yy.reshape(-1), 256, dtype=jnp.bfloat16)
+    mt = jax.lax.dot_general(
+        oh, m.astype(jnp.bfloat16).T,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    mt = mt.reshape(2, L, nbits, 2)
+    m0y0, m1y0 = mt[0, ..., 0], mt[0, ..., 1]
+    m0y1, m1y1 = mt[1, ..., 0], mt[1, ..., 1]
+    return jnp.stack([
+        m0y0 + m0y1,
+        m0y0 + m1y1,
+        m1y0 + m0y1,
+        m1y0 + m1y1,
+    ], axis=-1)                                # (L, nbits, 4)
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "delta", "maxcycles"))
@@ -66,34 +107,7 @@ def fano_decode_batch_jax(symbols: jnp.ndarray,
     tail = nbits - 31
     budget = maxcycles * nbits
 
-    y0 = symbols[:, 0::2]                      # (L, nbits)
-    y1 = symbols[:, 1::2]
-    m = mettab.astype(jnp.int32)               # (2, 256)
-    # Table lookups m[b][y] as a one-hot matmul: a 256-entry scalar gather
-    # over L*nbits indices runs ~15x slower on TPU than the MXU contraction
-    # (measured 84 ms vs a few ms per 26k-lane batch). Exactness: each
-    # output row is a dot with exactly one nonzero (1.0) term, and the
-    # table values are integers |v| <= 137 < 2^8 — exactly representable
-    # in bfloat16 — so bf16 one-hot/table inputs with the MXU's f32
-    # accumulation give a result bit-identical to the gather at half the
-    # one-hot HBM footprint (and 2x the MXU rate) of an f32/HIGHEST
-    # formulation.
-    yy = jnp.stack([y0, y1])                   # (2, L, nbits)
-    oh = jax.nn.one_hot(yy.reshape(-1), 256, dtype=jnp.bfloat16)
-    mt = jax.lax.dot_general(
-        oh, m.astype(jnp.bfloat16).T,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    mt = mt.reshape(2, L, nbits, 2)
-    m0y0, m1y0 = mt[0, ..., 0], mt[0, ..., 1]
-    m0y1, m1y1 = mt[1, ..., 0], mt[1, ..., 1]
-    # metrics[l, k, j]: j = (poly1_bit<<1)|poly2_bit
-    metrics = jnp.stack([
-        m0y0 + m0y1,
-        m0y0 + m1y1,
-        m1y0 + m0y1,
-        m1y0 + m1y1,
-    ], axis=-1)                                # (L, nbits, 4)
+    metrics = branch_metrics(symbols, mettab, nbits)   # (L, nbits, 4)
 
     lanes = jnp.arange(L)
     in_tail = jnp.arange(nbits + 1) >= tail    # (nbits+1,)
@@ -241,4 +255,4 @@ def fano_decode_batch(symbols: np.ndarray, mettab: np.ndarray = FANO_METTAB,
             np.asarray(out["maxnp"]))
 
 
-__all__ = ["fano_decode_batch_jax", "fano_decode_batch"]
+__all__ = ["fano_decode_batch_jax", "fano_decode_batch", "branch_metrics"]

@@ -92,16 +92,16 @@ class DeviceDecoder:
         # profiling aid for per-stage cost attribution on the real chip
         # (standalone microbenchmarks are useless over the tunnel).
         self.truncate_stage = truncate_stage
-        # fano_mode "device": everything in one XLA program (default).
+        # fano_mode "device": everything in one XLA program (default). The
+        # full reference cycle budget (10000/bit,
+        # lib/sync_and_demodulate_impl.cc:329) is deep-SNR-safe on TPU via
+        # the VMEM-resident Pallas Fano kernel (DemodConfig.fano_impl):
+        # even an all-timeout 128-lane block is bounded at ~0.4 s.
         # fano_mode "host" (the hybrid engine): the program stops after the
         # sync/rms gates and returns gated soft symbols; Fano runs on the
-        # host via the native C++ backend. The on-device lockstep
-        # while_loop pays ~ms of small-op dispatch per unrolled step, so a
-        # deep-SNR window whose lanes exhaust the 10000-cycle/bit budget
-        # (reference budget, lib/sync_and_demodulate_impl.cc:329) degrades
-        # from ~10 ms to minutes and can exceed remote-TPU program
-        # watchdogs; the host backend decodes the same lanes bit-exactly
-        # in milliseconds with per-lane early exit.
+        # host via the native C++ backend (per-lane early exit, lowest
+        # latency when most gated lanes are hopeless, and host OSD at any
+        # order). Both modes produce identical spots.
         self.fano_mode = fano_mode
         self.config = config or PipelineConfig()
         cfg = self.config.coarse
@@ -134,6 +134,20 @@ class DeviceDecoder:
         dcfg = self.config.demod
         from uwspr_tpu.demod.finesync import jiggle_offsets
         self._jiggles = jiggle_offsets(dcfg.n_jiggles, dcfg.iifac)
+        # on-device Fano implementation (see DemodConfig.fano_impl): the
+        # Pallas kernel keeps the trellis state in VMEM so the full
+        # reference cycle budget is bounded (deep-SNR-safe); the
+        # lax.while_loop path remains for non-TPU backends. Both bit-exact.
+        impl = dcfg.fano_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "while"
+        if impl == "pallas":
+            from uwspr_tpu.fec.fano_pallas import fano_decode_batch_pallas
+            self._fano_batch = functools.partial(
+                fano_decode_batch_pallas,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            self._fano_batch = fano_decode_batch_jax
         # The jitted entry points return ONE packed (C, 23) f32 array, not
         # the field dict: on remote TPU runtimes every fetched array is its
         # own ~30 ms d2h RPC, so 11 result arrays cost more than the whole
@@ -507,7 +521,7 @@ class DeviceDecoder:
         ML1 = min(dcfg.fano_max_lanes, C)
         gate0 = gate[:, 0]
         sel1 = jnp.argsort(~gate0, stable=True)[:ML1]
-        out1 = fano_decode_batch_jax(deint[sel1, 0], self._mettab,
+        out1 = self._fano_batch(deint[sel1, 0], self._mettab,
                                      gate0[sel1],
                                      maxcycles=dcfg.maxcycles,
                                      delta=dcfg.fano_delta)
@@ -542,7 +556,7 @@ class DeviceDecoder:
         ML2 = min(dcfg.fano_max_lanes, R)
         gate_rest = (gate[:, 1:] & ~succ0[:, None]).reshape(R)
         sel2 = jnp.argsort(~gate_rest, stable=True)[:ML2]
-        out2 = fano_decode_batch_jax(
+        out2 = self._fano_batch(
             deint[:, 1:].reshape(R, 162)[sel2], self._mettab,
             gate_rest[sel2], maxcycles=dcfg.maxcycles,
             delta=dcfg.fano_delta)
@@ -667,7 +681,7 @@ class DeviceDecoder:
         FL = min(cap, N)
         sel = jnp.argsort(~gate_flat, stable=True)[:FL]
         g = gate_flat[sel]
-        out = fano_decode_batch_jax(deint_flat[sel], self._mettab, g,
+        out = self._fano_batch(deint_flat[sel], self._mettab, g,
                                     maxcycles=dcfg.maxcycles,
                                     delta=dcfg.fano_delta)
         succ = jnp.zeros(N, bool).at[sel].set(out["success"] & g)
@@ -702,7 +716,7 @@ class DeviceDecoder:
             sel1 = jnp.argsort(~gate0, axis=1, stable=True)[:, :ML1]
             g1 = jnp.take_along_axis(gate0, sel1, axis=1)    # (W, ML1)
             d1 = deint[widx, sel1, 0]                        # (W, ML1, 162)
-            out1 = fano_decode_batch_jax(d1.reshape(W * ML1, 162),
+            out1 = self._fano_batch(d1.reshape(W * ML1, 162),
                                          self._mettab, g1.reshape(W * ML1),
                                          maxcycles=dcfg.maxcycles,
                                          delta=dcfg.fano_delta)
@@ -738,7 +752,7 @@ class DeviceDecoder:
                 g2 = jnp.take_along_axis(gate_rest, sel2, axis=1)
                 drest = deint[:, :, 1:].reshape(W, R, 162)
                 d2 = drest[widx, sel2]                       # (W, ML2, 162)
-                out2 = fano_decode_batch_jax(d2.reshape(W * ML2, 162),
+                out2 = self._fano_batch(d2.reshape(W * ML2, 162),
                                              self._mettab,
                                              g2.reshape(W * ML2),
                                              maxcycles=dcfg.maxcycles,

@@ -79,7 +79,11 @@ class DemodConfig:
                                   # refine_max_lanes) shrinks the batch
                                   # ~100x with identical results. Dropped
                                   # overflow lanes surface per-window in
-                                  # fano_overflow.
+                                  # fano_overflow. NOTE: when > 0, the
+                                  # per-window fano_max_lanes cap is NOT
+                                  # applied in the batched decoder — lane
+                                  # selection and overflow accounting use
+                                  # only this global cap.
     osd_depth: int = 0            # ordered-statistics decoding fallback for
                                   # candidates whose gated lanes all failed
                                   # Fano (fec/osd.py): 0 = off (reference

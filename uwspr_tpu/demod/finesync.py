@@ -294,6 +294,13 @@ def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
     C, F = freqs.shape
     W = zd.shape[-1]
     jpf = jnp.arange(W, dtype=jnp.float32)
+    # The clip is a safety net for the padded-stream edges only: every
+    # in-range probe must satisfy 0 <= lag + _PAD - base <= W - 256 by
+    # construction (make_shared_probe's W >= 2*reach + 256 + block - 1
+    # guarantee). A lag grid wider than the window's reach would be
+    # silently clamped here into wrong correlations — callers own that
+    # invariant (see the phase-A note in pipeline/jit_decoder.py, which
+    # runs this with zero slack: max offset 383 vs bound 384 at W=640).
     b = jnp.clip(lags.astype(jnp.int32) + _PAD - base[:, None], 0, W - 256)
     ft = freqs[..., None] + jnp.asarray(_TONES_HZ)                # (C, F, 4)
     bank = phasor_ramp((-2.0 * jnp.pi * _DT) * ft, W

@@ -346,6 +346,11 @@ class DeviceDecoder:
         # window must absorb reach + alignment slack, 2*128+256+127) —
         # every probe still reads the same masked 256 columns, and the
         # derotation/bank/einsum passes are all ~linear in W.
+        # NOTE: W=640 is EXACTLY minimal for this +/-128 lag grid (max
+        # window-local probe offset 383 vs the clip bound W-256=384 in
+        # shared_probe_eval, zero slack). Widening the lag grid or reach
+        # without growing W would be silently clamped into wrong sync
+        # correlations — grow W together with any reach change.
         Amat1, base1 = make_shared_probe(z, shift1, reach=128, W=640,
                                          block=128)
         zd1 = probe_derotate(Amat1, dsym)

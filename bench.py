@@ -81,13 +81,18 @@ def main():
     # shrinks that state ~100x with identical results.
     # BENCH_FANO_LANES=0 reverts to per-window compaction.
     fano_lanes = int(os.environ.get("BENCH_FANO_LANES", str(2 * N_WINDOWS)))
-    if lanes or fano_lanes or dtype != "f32":
+    # On-device Fano implementation (DemodConfig.fano_impl): "auto" =
+    # the VMEM-resident Pallas kernel on TPU (deep-SNR-safe: the full
+    # 10000-cycle budget is bounded even if every lane times out);
+    # BENCH_FANO_IMPL=while A/Bs the lax.while_loop formulation.
+    fano_impl = os.environ.get("BENCH_FANO_IMPL", "auto")
+    if lanes or fano_lanes or dtype != "f32" or fano_impl != "auto":
         from uwspr_tpu.config import DemodConfig, PipelineConfig
         decoder = DeviceDecoder(PipelineConfig(demod=DemodConfig(
             refine_max_lanes=lanes, probe_dtype=dtype,
-            fano_compact_lanes=fano_lanes)))
+            fano_compact_lanes=fano_lanes, fano_impl=fano_impl)))
         log(f"refine_max_lanes: {lanes} probe_dtype: {dtype} "
-            f"fano_compact_lanes: {fano_lanes}")
+            f"fano_compact_lanes: {fano_lanes} fano_impl: {fano_impl}")
     else:
         decoder = DeviceDecoder()
     windows, expected = make_windows(N_WINDOWS)

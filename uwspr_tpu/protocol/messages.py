@@ -334,10 +334,121 @@ def unpack_message(data: bytes | np.ndarray,
     return None
 
 
-def pack_message(callsign: str, grid: str, power_dbm: int) -> np.ndarray:
-    """Type-1 "CALL GRID dBm" -> 11-byte payload (50 info bits + zeros)."""
+def _check_power(power_dbm: int) -> None:
     if power_dbm % 10 not in _ALLOWED_POWER_UNITS or not 0 <= power_dbm <= 62:
-        raise ValueError(f"power {power_dbm} dBm not in the WSPR set")
+        raise ValueError(f"power {power_dbm} dBm not in the WSPR set "
+                         f"(0..60, last digit 0/3/7)")
+
+
+def pack_prefix(pfx: str) -> int:
+    """1-3 char prefix -> nprefix < 60000 (inverse of unpack_prefix's
+    base-37 loop, reference helpers.cc:436-462: chars packed MSB-first,
+    left-padded with spaces to 3)."""
+    pfx = pfx.upper()
+    if not 1 <= len(pfx) <= 3:
+        raise ValueError(f"prefix {pfx!r} must be 1-3 characters")
+    n = 0
+    for ch in f"{pfx:>3s}":
+        if ch.isdigit():
+            v = ord(ch) - 48
+        elif "A" <= ch <= "Z":
+            v = ord(ch) - 55
+        elif ch == " ":
+            v = 36
+        else:
+            raise ValueError(f"invalid prefix character {ch!r}")
+        n = n * 37 + v
+    return n
+
+
+def pack_suffix(sfx: str) -> int:
+    """1-2 char suffix -> nprefix >= 60000 (inverse of unpack_prefix's
+    suffix branch: single digit/letter, or two digits 10-99)."""
+    sfx = sfx.upper()
+    if len(sfx) == 1:
+        if sfx.isdigit():
+            return 60000 + ord(sfx) - 48
+        if "A" <= sfx <= "Z":
+            return 60000 + ord(sfx) - 55
+    elif len(sfx) == 2 and sfx.isdigit() and sfx[0] != "0":
+        return 60000 + 26 + int(sfx)
+    raise ValueError(f"suffix {sfx!r} must be one digit/letter or "
+                     f"two digits 10-99")
+
+
+def pack_message_type2(compound_callsign: str, power_dbm: int) -> np.ndarray:
+    """Type-2 "PFX/CALL dBm" or "CALL/SFX dBm" -> 11-byte payload.
+
+    Inverse of the type-2 branch of unpack_message (reference
+    helpers.cc:520-538): the 28-bit field carries the base callsign, the
+    22-bit field carries nprefix split as
+    n2 = (nprefix % 32768) * 128 + (power + nadd) + 64 with
+    nadd = nprefix // 32768 + 1 encoded into the power's unit digit.
+    """
+    _check_power(power_dbm)
+    parts = compound_callsign.upper().split("/")
+    if len(parts) != 2 or not parts[0] or not parts[1]:
+        raise ValueError(f"{compound_callsign!r} is not PFX/CALL or "
+                         f"CALL/SFX")
+    left, right = parts
+    if len(right) <= 2:                     # CALL/SFX
+        base, n3 = left, pack_suffix(right)
+    elif len(left) <= 3:                    # PFX/CALL
+        base, n3 = right, pack_prefix(left)
+    else:
+        raise ValueError(f"{compound_callsign!r}: prefix is 1-3 chars, "
+                         f"suffix 1-2")
+    n1 = pack_callsign(base)
+    nadd = n3 // 32768 + 1                  # 1 or 2 for all valid nprefix
+    ntype = power_dbm + nadd
+    n2 = (n3 % 32768) * 128 + ntype + 64
+    return pack50(n1, n2)
+
+
+def pack_message_type3(callsign: str, grid6: str,
+                       power_dbm: int) -> np.ndarray:
+    """Type-3 "<CALL> GRID6 dBm" -> 11-byte payload.
+
+    Inverse of the type-3 branch of unpack_message (reference
+    helpers.cc:540-590): the 28-bit callsign field carries the 6-char
+    locator rotated LEFT by one character, the 22-bit field carries the
+    15-bit callsign hash and the power as ntype = -(power+1). Receivers
+    print the callsign only if an earlier type-1/2 decode populated their
+    hashtable with it.
+    """
+    _check_power(power_dbm)
+    grid6 = grid6.upper()
+    if (len(grid6) != 6 or not (grid6[0].isalpha() and grid6[1].isalpha()
+                                and grid6[2].isdigit()
+                                and grid6[3].isdigit()
+                                and grid6[4].isalpha()
+                                and grid6[5].isalpha())):
+        raise ValueError(f"invalid 6-char locator {grid6!r}")
+    # unpack derotates as grid6 = cs[5] + cs[:5], so pack rotates left
+    n1 = pack_callsign(grid6[1:] + grid6[0])
+    ihash = nhash(callsign.strip().upper())
+    ntype = -(power_dbm + 1)
+    n2 = 128 * ihash + ntype + 64
+    return pack50(n1, n2)
+
+
+def pack_message(callsign: str, grid: str | None,
+                 power_dbm: int) -> np.ndarray:
+    """Message -> 11-byte payload (50 info bits + zeros), all types.
+
+    Dispatch mirrors the reference's message forms (helpers.cc:436-590):
+    a "/" in the callsign selects type 2 (compound call + power, no
+    grid), a 6-char locator selects type 3 (hashed call + subsquare
+    grid), otherwise type 1 "CALL GRID dBm".
+    """
+    if "/" in callsign:
+        if grid:
+            raise ValueError("type-2 (compound callsign) messages carry "
+                             "no grid; pass grid=None")
+        return pack_message_type2(callsign, power_dbm)
+    if grid is not None and len(grid) == 6:
+        return pack_message_type3(callsign, grid, power_dbm)
+    _check_power(power_dbm)
     n1 = pack_callsign(callsign)
     n2 = pack_grid(grid) * 128 + power_dbm + 64
     return pack50(n1, n2)
@@ -345,6 +456,7 @@ def pack_message(callsign: str, grid: str, power_dbm: int) -> np.ndarray:
 
 __all__ = [
     "nhash", "unpack50", "pack50", "unpack_callsign", "pack_callsign",
-    "unpack_grid", "pack_grid", "unpack_prefix", "HashTable", "Unpacked",
-    "unpack_message", "pack_message",
+    "unpack_grid", "pack_grid", "unpack_prefix", "pack_prefix",
+    "pack_suffix", "HashTable", "Unpacked", "unpack_message",
+    "pack_message", "pack_message_type2", "pack_message_type3",
 ]

@@ -39,15 +39,18 @@ def modulate_symbols(symbols: np.ndarray, amplitude: float = 1.0,
     return (amplitude * np.exp(1j * phase)).astype(np.complex64)
 
 
-def synthesize_frame(callsign: str, grid: str, power_dbm: int,
+def synthesize_frame(callsign: str, grid: str | None, power_dbm: int,
                      amplitude: float = 1.0, freq_offset: float = 0.0,
                      pad_to: int | None = WINDOW_SAMPLES,
                      start_sample: int = 0) -> np.ndarray:
-    """Type-1 message -> complex baseband, optionally padded into a window.
+    """Message -> complex baseband, optionally padded into a window.
 
-    ``start_sample`` places the frame start inside the padded window (the
-    reference's nominal start is 2 s into the stream; coarse search resolves
-    offsets of 0..26 half-symbols, lib/FDR_impl.cc:346).
+    All message types (pack_message dispatch): "CALL GRID dBm",
+    compound "PFX/CALL dBm" / "CALL/SFX dBm" (grid=None), or a 6-char
+    locator for type-3 hash frames. ``start_sample`` places the frame
+    start inside the padded window (the reference's nominal start is 2 s
+    into the stream; coarse search resolves offsets of 0..26
+    half-symbols, lib/FDR_impl.cc:346).
     """
     payload = pack_message(callsign, grid, power_dbm)
     sym = channel_symbols(_payload_bits(payload))

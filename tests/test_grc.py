@@ -124,3 +124,26 @@ def test_grc_receiver_decodes_through_interference(examples):
                 "--windows", "16")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "VE3EMB FN25 30" in r.stdout
+
+
+def test_unrecognized_topology_fails_loudly(tmp_path):
+    """A .grc outside the mapped receiver/sender chain shapes must raise
+    with the block inventory — never silently partially execute (the
+    importer's documented coverage boundary)."""
+    import pytest
+
+    from uwspr_tpu.grc import classify, parse_grc
+
+    p = tmp_path / "weird.grc"
+    p.write_text("""<?xml version='1.0' encoding='utf-8'?>
+<flow_graph>
+  <block><key>blocks_null_source</key>
+    <param><key>id</key><value>src0</value></param></block>
+  <block><key>blocks_null_sink</key>
+    <param><key>id</key><value>snk0</value></param></block>
+  <connection><source_block_id>src0</source_block_id>
+    <sink_block_id>snk0</sink_block_id>
+    <source_key>0</source_key><sink_key>0</sink_key></connection>
+</flow_graph>""")
+    with pytest.raises(ValueError, match="unrecognized flowgraph topology"):
+        classify(parse_grc(p))

@@ -25,6 +25,15 @@ and are ignored. Parameter expressions (e.g. ``Frame_Length``,
 arithmetic evaluator over the flowgraph's ``variable`` blocks — never with
 Python ``eval`` (flowgraph files are untrusted input).
 
+Coverage boundary (deliberate design stance, SURVEY.md §7.0 "do not
+rebuild GNU Radio"): this importer maps the RECEIVER and SENDER chain
+shapes above — the topologies the reference ships — not arbitrary GR
+graphs. A flowgraph containing neither a uwspr decode chain nor a
+C2-source replay chain raises ``ValueError`` with the block inventory
+(:func:`classify`); it is never silently partially executed. Custom GR
+blocks outside the mapped chains are not emulated — compose this
+framework's Python API instead.
+
 Reference files: examples/AudioSourceDecode.grc,
 examples/WaveFilePlusNoiseDecode.grc, examples/c2ToWaveFile.grc,
 examples/c2ToAudioSink.grc; parameter schemas grc/uwspr_*.xml.

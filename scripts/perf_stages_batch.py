@@ -30,15 +30,42 @@ from uwspr_tpu.protocol.modulate import synthesize_frame
 
 W = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 
+# UWSPR_WIDEBAND=1: profile the reference's shipped default config
+# (halfbandwidth=187 -> full 512-bin passband, maxfreqs=200 candidate
+# lanes; grc/uwspr_FDR.xml:31-36) on the 10-signal -15 dB scene the
+# BENCH_MATRIX wideband row uses.
+import os as _os
+
+WIDEBAND = _os.environ.get("UWSPR_WIDEBAND", "") == "1"
+
+_CALLS = ["K1ABC", "W9XYZ", "N2AB", "VE3EMB", "G4CDE",
+          "JA1FG", "VK2HI", "PY3JK", "ZS6LM", "OH2NP"]
+_GRIDS = ["FN42", "EM12", "FN31", "FN25", "IO91",
+          "PM95", "QF56", "GF49", "KG33", "KP20"]
+
 
 def make_batch(seed=0):
+    from uwspr_tpu.io.channel import noise_sigma
     rng = np.random.default_rng(seed)
     wins = []
     for w in range(W):
-        z = synthesize_frame("VE3EMB", "FN25", 30,
-                             start_sample=int(rng.integers(0, 3000)),
-                             freq_offset=float(rng.uniform(-100, 100)))
-        wins.append(awgn(z, -18, rng=rng))
+        if WIDEBAND:
+            sigma = noise_sigma(-15.0)
+            z = (rng.normal(scale=sigma, size=45000)
+                 + 1j * rng.normal(scale=sigma, size=45000)
+                 ).astype(np.complex64)
+            base = np.linspace(-170, 170, 10)
+            for k in range(10):
+                z += synthesize_frame(
+                    _CALLS[k], _GRIDS[k], 30,
+                    start_sample=int(rng.integers(0, 2000)),
+                    freq_offset=float(base[k] + rng.uniform(-2, 2)))
+        else:
+            z = synthesize_frame("VE3EMB", "FN25", 30,
+                                 start_sample=int(rng.integers(0, 3000)),
+                                 freq_offset=float(rng.uniform(-100, 100)))
+            z = awgn(z, -18, rng=rng)
+        wins.append(z)
     return jnp.asarray(np.stack([complex_to_ri(z) for z in wins]))
 
 
@@ -67,12 +94,16 @@ def main():
     # (DemodConfig.fano_compact_lanes); like refine compaction, only the
     # full row (stage=None) reflects it.
     fano_lanes = int(os.environ.get("UWSPR_FANO_LANES", "0"))
-    cfg = PipelineConfig(demod=DemodConfig(refine_max_lanes=lanes,
+    from uwspr_tpu.config import CoarseConfig
+    coarse = (CoarseConfig(halfbandwidth=187, maxfreqs=200) if WIDEBAND
+              else CoarseConfig())
+    cfg = PipelineConfig(coarse=coarse,
+                         demod=DemodConfig(refine_max_lanes=lanes,
                                            probe_dtype=dtype,
                                            fano_compact_lanes=fano_lanes))
     print("backend:", jax.default_backend(), jax.devices(), "W =", W,
           "refine_lanes =", lanes, "probe_dtype =", dtype,
-          "fano_lanes =", fano_lanes, flush=True)
+          "fano_lanes =", fano_lanes, "wideband =", WIDEBAND, flush=True)
     ri = make_batch()
     prev = 0.0
     for stage in ["post_peaks", "post_coarse", "post_phase_a", "post_head",

@@ -43,7 +43,7 @@ orders of magnitude below the per-window decode time, so the expected
 hardware efficiency is ~100% on the time axis and exactly 100% on the
 embarrassingly parallel channel axis.
 
-Writes SCALING_r02.json at the repo root and prints a markdown table.
+Writes SCALING_r03.json at the repo root and prints a markdown table.
 """
 
 import argparse
@@ -57,9 +57,15 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
-def run_one(axis: str, n: int, reps: int) -> dict:
+def run_one(axis: str, n: int, reps: int, wins_per_shard: int = 1) -> dict:
     """Measure one mesh config. Runs inside a subprocess whose XLA_FLAGS
-    request exactly n virtual devices."""
+    request exactly n virtual devices.
+
+    wins_per_shard (time axis): windows per time shard per step. With 1,
+    block = hop and the halo needs ceil((fl-hop)/hop) = 13 chained
+    ppermute rounds per step — 13 full-mesh synchronization points, which
+    oversubscribed virtual devices serialize on (the r2 8-device cliff).
+    Larger blocks cut the chain: 4 -> 4 rounds, 8 -> 2 rounds."""
     sys.path.insert(0, str(REPO))
     import jax
 
@@ -81,7 +87,7 @@ def run_one(axis: str, n: int, reps: int) -> dict:
     n_ch, n_time = (n, 1) if axis == "channel" else (1, n)
     dec = ShardedDecoder(cfg, make_mesh(n_ch, n_time))
     hop, halo, fl = dec.hop, dec.halo, dec.fl
-    block_len = hop                      # one window per time shard
+    block_len = wins_per_shard * hop     # windows per time shard
     total = n_time * block_len
 
     rng = np.random.default_rng(0)
@@ -116,11 +122,14 @@ def run_one(axis: str, n: int, reps: int) -> dict:
         out, n_spots_j = dec.decode(stream, tail)
         n_spots = int(np.asarray(n_spots_j))   # force completion (d2h)
     dt = (time.time() - t0) / reps
-    thr = n * 45000.0 / dt                     # window-samples/s, mesh-wide
+    n_windows = n_ch * n_time * wins_per_shard
+    thr = n_windows * 45000.0 / dt             # window-samples/s, mesh-wide
+    halo_rounds = 0 if n_time == 1 else -(-halo // block_len)
     return {
-        "axis": axis, "devices": n,
+        "axis": axis, "devices": n, "wins_per_shard": wins_per_shard,
         "mesh": {"channel": n_ch, "time": n_time},
-        "windows_per_step": n, "frames_embedded": frames,
+        "windows_per_step": n_windows, "halo_ppermute_rounds": halo_rounds,
+        "frames_embedded": frames,
         "spots": n_spots, "step_s": round(dt, 3),
         "throughput_window_samples_per_s": round(thr, 1),
         "compile_s": round(compile_s, 1),
@@ -131,33 +140,41 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--one", nargs=2, metavar=("AXIS", "N"), default=None,
                     help="internal: measure this config and print JSON")
+    ap.add_argument("--wps", type=int, default=1,
+                    help="windows per time shard (time-axis block size)")
     ap.add_argument("--reps", type=int,
                     default=int(os.environ.get("SCALING_REPS", "3")))
     args = ap.parse_args()
 
     if args.one is not None:
-        print(json.dumps(run_one(args.one[0], int(args.one[1]), args.reps)))
+        print(json.dumps(run_one(args.one[0], int(args.one[1]), args.reps,
+                                 wins_per_shard=args.wps)))
         return
 
     results = []
-    configs = [("channel", 1), ("channel", 2), ("channel", 4),
-               ("channel", 8), ("time", 2), ("time", 4), ("time", 8)]
-    for axis, n in configs:
+    # (axis, devices, wins_per_shard): the time-axis wps ladder isolates
+    # the r2 8-device cliff — wps=1 is 13 chained ppermute rounds/step,
+    # wps=4 is 4, wps=8 is 2 (fewer full-mesh sync points for the
+    # oversubscribed virtual devices to serialize on)
+    configs = [("channel", 1, 1), ("channel", 2, 1), ("channel", 4, 1),
+               ("channel", 8, 1), ("time", 2, 1), ("time", 4, 1),
+               ("time", 8, 1), ("time", 8, 4), ("time", 8, 8)]
+    for axis, n, wps in configs:
         env = dict(os.environ)
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                             f" --xla_force_host_platform_device_count="
                             f"{n}").strip()
         p = subprocess.run(
             [sys.executable, __file__, "--one", axis, str(n),
-             "--reps", str(args.reps)],
+             "--reps", str(args.reps), "--wps", str(wps)],
             capture_output=True, text=True, env=env, timeout=2400)
         if p.returncode != 0:
-            print(f"{axis} n={n} FAILED:\n{p.stderr[-1500:]}",
+            print(f"{axis} n={n} wps={wps} FAILED:\n{p.stderr[-1500:]}",
                   file=sys.stderr)
             continue
         r = json.loads(p.stdout.strip().splitlines()[-1])
         results.append(r)
-        print(f"{axis} n={n}: {r['step_s']} s/step, "
+        print(f"{axis} n={n} wps={wps}: {r['step_s']} s/step, "
               f"{r['throughput_window_samples_per_s']:,.0f} samples/s, "
               f"spots={r['spots']}", file=sys.stderr)
 
@@ -165,7 +182,8 @@ def main():
                 if r["axis"] == "channel" and r["devices"] == 1)
     for r in results:
         r["efficiency_vs_1dev"] = round(
-            r["throughput_window_samples_per_s"] / (base * r["devices"]), 3)
+            r["throughput_window_samples_per_s"]
+            / (base * r["windows_per_step"]), 3)
 
     halo_bytes = (45000 - 3375) * 8
     doc = {
@@ -179,8 +197,8 @@ def main():
         "halo_bytes_per_channel_per_step": halo_bytes,
         "results": results,
     }
-    (REPO / "SCALING_r02.json").write_text(json.dumps(doc, indent=1) + "\n")
-    print(f"wrote {REPO / 'SCALING_r02.json'}", file=sys.stderr)
+    (REPO / "SCALING_r03.json").write_text(json.dumps(doc, indent=1) + "\n")
+    print(f"wrote {REPO / 'SCALING_r03.json'}", file=sys.stderr)
 
     print("| axis | devices | s/step | window-samples/s | spots | "
           "efficiency vs 1 dev |")

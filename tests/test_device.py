@@ -352,3 +352,80 @@ def test_sharded_decoder_mesh():
     out, n_spots = dec.decode(x)
     assert out["success"].shape[0] == 2      # channels gathered
     assert int(n_spots) == int(np.asarray(out["success"]).sum())
+
+
+def test_cand_compaction_matches_full():
+    """cand_compact_lanes > 0 (cross-window compaction of VALID candidate
+    lanes before the phase-A/B refine — the wideband fast path) must
+    decode the same messages with the same refined (freq, shift) as the
+    uncompacted batch; valid lanes beyond the cap degrade gracefully and
+    surface in fano_overflow."""
+    import jax.numpy as jnp
+
+    from uwspr_tpu.demod.finesync import complex_to_ri
+    from uwspr_tpu.io.channel import noise_sigma
+
+    rng = np.random.default_rng(17)
+    wins = []
+    sigma = noise_sigma(-15.0)
+    for w in range(3):
+        z = (rng.normal(scale=sigma, size=45000)
+             + 1j * rng.normal(scale=sigma, size=45000)).astype(np.complex64)
+        # several signals spread across the wide passband
+        for k, (call, grid, f) in enumerate([
+                ("VE3EMB", "FN25", -140.0), ("K1ABC", "FN42", -30.0),
+                ("W9XYZ", "EM48", 55.0), ("N2AB", "FN31", 150.0)]):
+            if w == 2 and k > 0:
+                break                        # window 2: single signal
+            z += synthesize_frame(call, grid, 30,
+                                  start_sample=int(rng.integers(0, 2000)),
+                                  freq_offset=f + float(rng.uniform(-2, 2)))
+        wins.append(z)
+    ri = jnp.asarray(np.stack([complex_to_ri(z) for z in wins]))
+
+    wb = dict(halfbandwidth=187, maxfreqs=64)
+    base = PipelineConfig(coarse=CoarseConfig(**wb),
+                          demod=DemodConfig(maxcycles=2000))
+    comp = PipelineConfig(coarse=CoarseConfig(**wb),
+                          demod=DemodConfig(maxcycles=2000,
+                                            cand_compact_lanes=96))
+    d0 = DeviceDecoder(base)
+    d1 = DeviceDecoder(comp)
+    o0 = d0.unpack_output(np.asarray(d0.decode_windows_ri(ri)))
+    o1 = d1.unpack_output(np.asarray(d1.decode_windows_ri(ri)))
+    for w in range(3):
+        m0 = sorted(d0.messages(o0.window(w)))
+        m1 = sorted(d1.messages(o1.window(w)))
+        assert m0 == m1, (w, m0, m1)
+    assert o0.success.sum() >= 4             # the scene actually decodes
+    np.testing.assert_array_equal(o0.success, o1.success)
+    sel = o0.success
+    np.testing.assert_array_equal(o0.shift[sel], o1.shift[sel])
+    np.testing.assert_allclose(o0.freq[sel], o1.freq[sel], atol=1e-5)
+    assert int(o1.fano_overflow.sum()) == 0
+
+    # composes with refine + Fano compaction (the wideband serving point)
+    comp2 = PipelineConfig(coarse=CoarseConfig(**wb),
+                           demod=DemodConfig(maxcycles=2000,
+                                             cand_compact_lanes=96,
+                                             refine_max_lanes=32,
+                                             fano_compact_lanes=64))
+    d2 = DeviceDecoder(comp2)
+    o2 = d2.unpack_output(np.asarray(d2.decode_windows_ri(ri)))
+    np.testing.assert_array_equal(o0.success, o2.success)
+
+    # hybrid engine through candidate compaction
+    h1 = DeviceDecoder(comp, fano_mode="host")
+    ph = h1.decode_ri_batch(np.asarray(ri))
+    for w in range(3):
+        msgs = sorted(h1.messages(ph.window(w)))
+        assert msgs == sorted(d0.messages(o0.window(w))), (w, msgs)
+
+    # cap smaller than the valid-lane count: graceful + observable
+    tiny = PipelineConfig(coarse=CoarseConfig(**wb),
+                          demod=DemodConfig(maxcycles=2000,
+                                            cand_compact_lanes=4))
+    d3 = DeviceDecoder(tiny)
+    o3 = d3.unpack_output(np.asarray(d3.decode_windows_ri(ri)))
+    assert int(o3.fano_overflow.sum()) >= 1
+    assert o3.success.sum() <= o0.success.sum()

@@ -84,6 +84,21 @@ class DemodConfig:
                                   # applied in the batched decoder — lane
                                   # selection and overflow accounting use
                                   # only this global cap.
+    cand_compact_lanes: int = 0   # batched device decoder: compact VALID
+                                  # candidate lanes across the window batch
+                                  # to this many total lanes before the
+                                  # phase-A/B refine (0 = off). The refine
+                                  # passes are ~linear in static lanes
+                                  # (~23 us/lane on v5e), and the wideband
+                                  # default carries maxfreqs=200 slots per
+                                  # window of which only the accepted few
+                                  # are real — this prices refine by the
+                                  # ACCEPTED count instead. Valid lanes
+                                  # beyond the cap are dropped weakest-
+                                  # coarse-SNR-first, observably via
+                                  # refine_overflow. Composes with
+                                  # refine_max_lanes (post-worth tail
+                                  # sub-compaction) and fano_compact_lanes.
     osd_depth: int = 0            # ordered-statistics decoding fallback for
                                   # candidates whose gated lanes all failed
                                   # Fano (fec/osd.py): 0 = off (reference

@@ -247,6 +247,47 @@ def make_shared_probe(z: jnp.ndarray, center: jnp.ndarray, *,
     return jnp.concatenate(blocks, axis=2), base
 
 
+def make_shared_probe_lanes(z_all: jnp.ndarray, widx: jnp.ndarray,
+                            center: jnp.ndarray, *, reach: int = _REACH,
+                            W: int = _W, block: int = 256):
+    """Cross-window lane variant of make_shared_probe: (B, N) complex
+    windows + (L,) per-lane window indices + (L,) lag centers ->
+    (Amat (L, 162, W) complex, base (L,) int32).
+
+    Identical per-lane semantics to make_shared_probe(z_all[widx[l]],
+    center[l:l+1]) — the block-row gather just adds a widx*nblk row
+    offset, so L compacted lanes drawn from different windows still cost
+    ONE vectorized gather. This is what makes cross-window candidate
+    compaction (DemodConfig.cand_compact_lanes) possible: the wideband
+    default carries maxfreqs=200 static candidate lanes per window of
+    which only the accepted few are real, and the refine phases are
+    ~linear in static lanes."""
+    assert W % 128 == 0 and W % block == 0, (W, block)
+    assert W >= 2 * reach + 256 + (block - 1), (W, reach, block)
+    B, N = z_all.shape
+    zp = jnp.pad(z_all, ((0, 0), (_PAD, _PAD + W))).at[:, _PAD].set(0)
+    Np = zp.shape[1]
+    start_min = center.astype(jnp.int32) + _PAD - reach
+    base = jnp.clip((start_min // block) * block, 0, Np - (_FRAME + W))
+    nblk = -(-Np // block)
+    zblk = jnp.pad(zp, ((0, 0), (0, nblk * block - Np))
+                   ).reshape(B * nblk, block)
+    rows = (widx.astype(jnp.int32) * nblk + base // block)[:, None] \
+        + jnp.arange((_FRAME + W) // block)[None, :]
+    L = center.shape[0]
+    A = zblk[rows].reshape(L, _FRAME + W)
+    blocks, off = [], 0
+    while off < W:
+        blk = A[:, off: off + _FRAME].reshape(L, 162, 256)
+        if W - off >= 256:
+            blocks.append(blk)
+            off += 256
+        else:
+            blocks.append(blk[:, :, :128])
+            off += 128
+    return jnp.concatenate(blocks, axis=2), base
+
+
 def phasor_ramp(theta: jnp.ndarray, W: int) -> jnp.ndarray:
     """exp(i * theta * j) for j in [0, W), theta (...,) -> (..., W).
 
@@ -527,5 +568,6 @@ class FineSync:
 
 __all__ = ["FineSync", "Refined", "eval_probe_grid",
            "eval_probe_grid_core", "complex_to_ri", "drift_offsets",
-           "jiggle_offsets", "make_shared_probe", "probe_derotate",
+           "jiggle_offsets", "make_shared_probe", "make_shared_probe_lanes",
+           "probe_derotate",
            "shared_probe_eval"]

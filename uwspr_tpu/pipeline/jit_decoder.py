@@ -33,6 +33,7 @@ from uwspr_tpu.coarse.search import (
 from uwspr_tpu.config import PipelineConfig
 from uwspr_tpu.demod.finesync import (
     make_shared_probe,
+    make_shared_probe_lanes,
     probe_derotate,
     shared_probe_eval,
 )
@@ -289,12 +290,19 @@ class DeviceDecoder:
         """Samples -> per-candidate coarse + phase-A + drift-refined state
         (everything the reference runs for *every* candidate before the
         sync1 > minsync1 gate, lib/sync_and_demodulate_impl.cc:443)."""
+        z = jnp.asarray(z).astype(jnp.complex64)
+        st = self._coarse_stage(z)
+        if "_t" in st:
+            return st
+        return self._refine_common(
+            st, probe=lambda center, reach, W, block: make_shared_probe(
+                z, center, reach=reach, W=W, block=block))
+
+    def _coarse_stage(self, z: jnp.ndarray) -> dict:
+        """Samples -> (C,) per-candidate coarse metadata (peak pick +
+        drift-model grid scoring + acceptance)."""
         cfg = self.config.coarse
-        dcfg = self.config.demod
         z = z.astype(jnp.complex64)
-        C = self.n_cand
-        cidx = jnp.arange(C)
-        spe = functools.partial(shared_probe_eval, dtype=dcfg.probe_dtype)
 
         # ---- coarse search ----
         ps = stft_power(z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
@@ -327,18 +335,39 @@ class DeviceDecoder:
         if self.truncate_stage == "post_coarse":
             return {"_t": freq.sum() + shift.sum() + snr.sum()
                     + drift.sum()}
+        return {
+            "valid": valid, "snr": snr, "freq": freq.astype(jnp.float32),
+            "shift": shift, "drift": drift, "mode": mode,
+            "slm_params": slm_params,
+        }
 
-        # ---- staged fine sync (mirrors demod.finesync.FineSync.refine).
-        # Every pass over a (C, 162, W) derotated window is HBM-bound in W,
-        # so each stage group gets the narrowest window its probe reach
-        # allows, and consecutive (lag, freq) stages are evaluated as ONE
-        # joint grid — the reference's sequential stage order is reproduced
-        # exactly by *indexing* the joint grid (lag argmax along the
-        # original-frequency row, then freq argmax along the chosen-lag
-        # column), since stage k's probes are a subset of the grid.
-        f1 = freq.astype(jnp.float32)
-        shift1 = shift
-        drift1 = drift
+    def _refine_common(self, st: dict, probe) -> dict:
+        """Phase A + phase B refinement over (L,) candidate lanes.
+
+        ``probe(center, reach, W, block) -> (Amat (L,162,W), base (L,))``
+        builds the shared probe window — make_shared_probe closed over a
+        single window's samples (the per-window vmapped path), or
+        make_shared_probe_lanes with per-lane window indices (the
+        cross-window cand_compact_lanes path). Identical per-lane math
+        either way (tests/test_device.py parity).
+
+        ---- staged fine sync (mirrors demod.finesync.FineSync.refine).
+        Every pass over a (C, 162, W) derotated window is HBM-bound in W,
+        so each stage group gets the narrowest window its probe reach
+        allows, and consecutive (lag, freq) stages are evaluated as ONE
+        joint grid — the reference's sequential stage order is reproduced
+        exactly by *indexing* the joint grid (lag argmax along the
+        original-frequency row, then freq argmax along the chosen-lag
+        column), since stage k's probes are a subset of the grid."""
+        dcfg = self.config.demod
+        valid, snr = st["valid"], st["snr"]
+        mode, slm_params = st["mode"], st["slm_params"]
+        C = valid.shape[0]
+        cidx = jnp.arange(C)
+        spe = functools.partial(shared_probe_eval, dtype=dcfg.probe_dtype)
+        f1 = st["freq"].astype(jnp.float32)
+        shift1 = st["shift"]
+        drift1 = st["drift"]
         dsym = self._drift_offsets(mode, drift1, slm_params)
 
         # phase A: window covering the coarse-lag reach (+/-128).
@@ -351,8 +380,7 @@ class DeviceDecoder:
         # shared_probe_eval, zero slack). Widening the lag grid or reach
         # without growing W would be silently clamped into wrong sync
         # correlations — grow W together with any reach change.
-        Amat1, base1 = make_shared_probe(z, shift1, reach=128, W=640,
-                                         block=128)
+        Amat1, base1 = probe(shift1, 128, 640, 128)
         zd1 = probe_derotate(Amat1, dsym)
         lag_grid = shift1[:, None] + jnp.arange(-128, 129, 64)[None, :]
         freq_grid = f1[:, None] + (jnp.arange(-2, 3) * 0.25)[None, :]
@@ -368,8 +396,7 @@ class DeviceDecoder:
 
         # phase B: window centered on the refined lag; reach 96 covers the
         # fine-lag (+/-32) and jiggle (+/-64) probes, block=128 alignment
-        Amat2, base2 = make_shared_probe(z, shift1, reach=96, W=640,
-                                         block=128)
+        Amat2, base2 = probe(shift1, 96, 640, 128)
         # drift +/-0.5 probes read a single per-symbol 256-sample window;
         # any candidate's window start b lies in [96, 224), so derotating
         # the static 384-column slice [96, 480) covers every probe at ~60%
@@ -611,7 +638,10 @@ class DeviceDecoder:
         as the field dict instead of the packed array; hybrid always
         returns the packed prefano (its consumer is _host_fano_assemble
         either way)."""
-        if self.config.demod.refine_max_lanes > 0 and not self.truncate_stage:
+        dcfg = self.config.demod
+        if dcfg.cand_compact_lanes > 0 and not self.truncate_stage:
+            pre = self._compact_cand_pre(ris)
+        elif dcfg.refine_max_lanes > 0 and not self.truncate_stage:
             head = jax.vmap(self._prefano_head_ri)(ris)
             pre = self._compact_refine_tail(head)
         else:
@@ -669,6 +699,84 @@ class DeviceDecoder:
             # worth lanes dropped by the cap, per window
             "refine_overflow": (worthy & ~selmask.reshape(W, C))
             .sum(axis=1).astype(jnp.int32),
+        }
+
+    def _compact_cand_pre(self, ris: jnp.ndarray) -> dict:
+        """Cross-window CANDIDATE compaction: coarse search on every
+        window, then phase A/B + the post-worth tail on only the valid
+        candidate lanes gathered across the window batch.
+
+        This is the wideband fast path: the reference default carries
+        maxfreqs=200 static candidate slots per window
+        (grc/uwspr_FDR.xml:31-36) of which only the
+        ratio-acceptance-passing few are real, and every refine pass is
+        ~linear in static lanes (measured v5e, W=32 wideband: phase A+B
+        9.1 ms/window at 200 lanes ~ 23 us/lane). Gathering the valid
+        lanes of all windows into one (cand_compact_lanes,) batch via
+        make_shared_probe_lanes prices refine by the ACCEPTED candidate
+        count. Valid lanes beyond the cap (weakest coarse SNR first) are
+        dropped observably via refine_overflow. Per-lane results are
+        identical to the uncompacted path for every selected lane."""
+        dcfg = self.config.demod
+        z_all = jax.lax.complex(ris[:, 0], ris[:, 1]).astype(jnp.complex64)
+        coarse = jax.vmap(self._coarse_stage)(z_all)          # (W, C) fields
+        W, C = coarse["valid"].shape
+        J = dcfg.n_jiggles
+        ML = min(dcfg.cand_compact_lanes, W * C)
+        flat = {k: v.reshape((W * C,) + v.shape[2:])
+                for k, v in coarse.items()}
+        # keep every valid lane when they fit; under overflow drop the
+        # weakest coarse-SNR lanes first
+        key = jnp.where(flat["valid"], -flat["snr"], jnp.inf)
+        sel = jnp.argsort(key, stable=True)[:ML]
+        widx = (sel // C).astype(jnp.int32)
+        st = {k: v[sel] for k, v in flat.items()}
+        head = self._refine_common(
+            st, probe=lambda center, reach, Wp, block:
+            make_shared_probe_lanes(z_all, widx, center, reach=reach,
+                                    W=Wp, block=block))
+
+        # post-worth tail on the compacted lanes (sub-compacted further if
+        # refine_max_lanes is set and smaller)
+        worthy = head["worth0"] & head["valid"]               # (ML,)
+        ML2 = (min(dcfg.refine_max_lanes, ML)
+               if dcfg.refine_max_lanes > 0 else ML)
+        sel2 = jnp.argsort(~worthy, stable=True)[:ML2]
+        sub = {k: head[k][sel2]
+               for k in ("valid", "snr", "freq", "shift", "drift", "mode",
+                         "slm_params", "sync1", "Amat2", "base2")}
+        sub["worth0"] = worthy[sel2]
+        tail = self._prefano_tail(sub)
+        gsel = sel[sel2]              # global (W*C) indices of tail lanes
+
+        def scat(base_flat, vals):
+            return (base_flat.at[gsel].set(vals)
+                    .reshape((W, C) + vals.shape[1:]))
+
+        zeros = jnp.zeros
+        # refined freq/shift/drift for every selected lane (phase A/B),
+        # then the fine-grid updates for the tail lanes on top — matching
+        # the uncompacted path lane-for-lane on all selected lanes
+        freq = flat["freq"].at[sel].set(head["freq"])
+        shift = flat["shift"].at[sel].set(head["shift"])
+        drift = flat["drift"].at[sel].set(head["drift"])
+        kept = jnp.zeros(W * C, bool).at[sel].set(True)
+        tailed = jnp.zeros(ML, bool).at[sel2].set(True)
+        worth_dropped = jnp.zeros(W * C, bool).at[sel].set(worthy & ~tailed)
+        overflow = ((flat["valid"] & ~kept).reshape(W, C).sum(axis=1)
+                    + worth_dropped.reshape(W, C).sum(axis=1)
+                    ).astype(jnp.int32)
+        return {
+            "valid": coarse["valid"], "snr": coarse["snr"],
+            "mode": coarse["mode"], "slm_params": coarse["slm_params"],
+            "drift": drift.reshape(W, C),
+            "worth": scat(zeros(W * C, bool), tail["worth"]),
+            "freq": scat(freq, tail["freq"]),
+            "shift": scat(shift, tail["shift"]),
+            "sync2": scat(zeros((W * C, J), jnp.float32), tail["sync2"]),
+            "gate": scat(zeros((W * C, J), bool), tail["gate"]),
+            "deint": scat(zeros((W * C, J, 162), jnp.uint8), tail["deint"]),
+            "refine_overflow": overflow,
         }
 
     def _compact_fano(self, gate_flat: jnp.ndarray, deint_flat: jnp.ndarray,

@@ -94,20 +94,28 @@ def main():
     # (DemodConfig.fano_compact_lanes); like refine compaction, only the
     # full row (stage=None) reflects it.
     fano_lanes = int(os.environ.get("UWSPR_FANO_LANES", "0"))
+    # UWSPR_CAND_LANES=<n>: cross-window candidate compaction
+    # (DemodConfig.cand_compact_lanes — the wideband fast path); like the
+    # other compactions, only the full row (stage=None) reflects it.
+    cand_lanes = int(os.environ.get("UWSPR_CAND_LANES", "0"))
     from uwspr_tpu.config import CoarseConfig
     coarse = (CoarseConfig(halfbandwidth=187, maxfreqs=200) if WIDEBAND
               else CoarseConfig())
     cfg = PipelineConfig(coarse=coarse,
                          demod=DemodConfig(refine_max_lanes=lanes,
                                            probe_dtype=dtype,
-                                           fano_compact_lanes=fano_lanes))
+                                           fano_compact_lanes=fano_lanes,
+                                           cand_compact_lanes=cand_lanes))
     print("backend:", jax.default_backend(), jax.devices(), "W =", W,
           "refine_lanes =", lanes, "probe_dtype =", dtype,
           "fano_lanes =", fano_lanes, "wideband =", WIDEBAND, flush=True)
     ri = make_batch()
     prev = 0.0
-    for stage in ["post_peaks", "post_coarse", "post_phase_a", "post_head",
-                  "post_refine", "pre_fano", None]:
+    # UWSPR_ONLY_FULL=1: measure just the end-to-end row (A/B runs)
+    stages = ([None] if os.environ.get("UWSPR_ONLY_FULL") == "1" else
+              ["post_peaks", "post_coarse", "post_phase_a", "post_head",
+               "post_refine", "pre_fano", None])
+    for stage in stages:
         dec = DeviceDecoder(cfg, truncate_stage=stage)
         t0 = time.perf_counter()
         np.asarray(dec.decode_windows_ri(ri))

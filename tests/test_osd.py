@@ -217,3 +217,24 @@ def test_device_engine_osd_batched_windows():
         by = {s.message: s for s in dec.spots(one)}
         assert MSG in by, (w, sorted(by))
         assert by[MSG].osd == 2
+
+
+def test_device_osd_order3_matches_host():
+    """Order-3: the (K,K,K) inclusion-exclusion triple scoring must pick
+    the exact same codeword (quality, flip count) as the host's
+    sequential 19,600-triple walk on identical quantized lanes."""
+    import jax
+    import jax.numpy as jnp
+
+    from uwspr_tpu.fec.osd_jax import osd2_decode_jax
+
+    G = generator_matrix()
+    f = jax.jit(lambda s: osd2_decode_jax(s, G, order=3))
+    rng = np.random.default_rng(23)
+    for _ in range(8):
+        soft, _ = _quantized_soft(rng, int(rng.integers(0, 14)))
+        ref = osd_decode(soft, order=3)
+        u, q, nf = f(jnp.asarray(soft, jnp.float32))
+        np.testing.assert_array_equal(np.asarray(u), ref.info_bits)
+        assert abs(float(q) - ref.quality) < 1e-3
+        assert int(nf) == ref.flips

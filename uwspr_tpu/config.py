@@ -111,7 +111,7 @@ class DemodConfig:
                                   # against known callsigns by consumers.
     osd_max_lanes: int = 32       # device/mesh engines: Fano-failed worth
                                   # lanes compacted to this many on-device
-                                  # order-<=2 OSD lanes per batch
+                                  # order-<=3 OSD lanes per batch
                                   # (fec/osd_jax.py); 0 disables device OSD
                                   # even when osd_depth > 0. Overflow lanes
                                   # degrade gracefully (no rescue) and

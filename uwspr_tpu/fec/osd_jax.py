@@ -1,4 +1,4 @@
-"""On-device ordered-statistics decoding (order <= 2) as one XLA program.
+"""On-device ordered-statistics decoding (order <= 3) as one XLA program.
 
 The host OSD (fec/osd.py) gives the hybrid/host engines their deep-SNR
 fallback; this module is the same algorithm restructured for the TPU so
@@ -15,7 +15,12 @@ Structure (everything fixed-shape, vmappable over failed lanes):
   column everywhere, which selects exactly the greedy independent set;
 - (50, 50) GF(2) inversion: 50 Gauss-Jordan rounds;
 - candidate scoring: the order-1/order-2 flip search is two small dense
-  matmuls, identical to the host formulation (fec/osd.py:134-151).
+  matmuls, identical to the host formulation (fec/osd.py:134-151);
+  order 3 scores all C(50,3) triples at once via one (K,K,K) tensor —
+  inclusion-exclusion over the XOR of three codeword deltas:
+  score(p,q,r) = s0 + w_p+w_q+w_r - 2(M2_pq+M2_pr+M2_qr) + 4*T_pqr with
+  T = einsum(s, D, D, D) — 0.5 MB, trivial for the MXU, vs the host's
+  sequential 19,600-candidate walk.
 
 GF(2) products use int32 matmuls (exact: inner dim <= 162) masked with
 & 1. Acceptance is by the reliability-correlation quality margin (the
@@ -75,7 +80,7 @@ def osd2_decode_jax(soft: jnp.ndarray, G: np.ndarray, order: int = 2):
     coded bit 1, |x-128| is the reliability) -> (info_bits (50,) int32,
     quality float32, flips int32). Same candidate set and strict-<
     preference order as the host fec/osd.osd_decode at order <= 2."""
-    assert order in (1, 2)
+    assert order in (1, 2, 3)
     Gj = jnp.asarray(G, jnp.int32)
     y = soft - 128.0
     h = (y >= 0)
@@ -115,6 +120,30 @@ def osd2_decode_jax(soft: jnp.ndarray, G: np.ndarray, order: int = 2):
         pairvec = jnp.zeros(K, jnp.int32).at[p2].add(1).at[q2].add(1)
         flips = jnp.where(take2, pairvec, flips)
         n_flips = jnp.where(take2, 2, n_flips)
+
+    if order >= 3:
+        # XOR of three columns by inclusion-exclusion (d are 0/1):
+        # dp^dq^dr = dp+dq+dr - 2(dpdq+dpdr+dqdr) + 4 dpdqdr, so
+        # score(p,q,r) = s0 + w_p+w_q+w_r - 2(M2_pq+M2_pr+M2_qr) + 4T_pqr
+        T = jnp.einsum("i,ip,iq,ir->pqr", s, Df, Df, Df)
+        trip = (score0 + w[:, None, None] + w[None, :, None]
+                + w[None, None, :]
+                - 2.0 * (M2[:, :, None] + M2[:, None, :] + M2[None, :, :])
+                + 4.0 * T)
+        kk = jnp.arange(K)
+        strict = ((kk[:, None, None] < kk[None, :, None])
+                  & (kk[None, :, None] < kk[None, None, :]))
+        trip = jnp.where(strict, trip, jnp.inf)
+        flat3 = jnp.argmin(trip)              # first min = lexicographic,
+        p3 = flat3 // (K * K)                 # matching the host's
+        q3 = (flat3 // K) % K                 # combinations() walk
+        r3 = flat3 % K
+        take3 = trip[p3, q3, r3] < s_best
+        s_best = jnp.where(take3, trip[p3, q3, r3], s_best)
+        tripvec = (jnp.zeros(K, jnp.int32)
+                   .at[p3].add(1).at[q3].add(1).at[r3].add(1))
+        flips = jnp.where(take3, tripvec, flips)
+        n_flips = jnp.where(take3, 3, n_flips)
 
     u = (u0 + Ainv @ flips) & 1
     total = jnp.maximum(jnp.sum(r), 1e-9)

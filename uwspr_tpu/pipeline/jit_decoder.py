@@ -69,7 +69,7 @@ class DeviceDecoderOutput:
                                # count; load/capacity observability)
     osd: np.ndarray            # per candidate: 0 = Fano decode, else the
                                # OSD search order that recovered it — the
-                               # deep-SNR fallback (on-device order <= 2
+                               # deep-SNR fallback (on-device order <= 3
                                # via fec/osd_jax.py; host/hybrid engines
                                # any order via fec/osd.py)
 
@@ -925,7 +925,7 @@ class DeviceDecoder:
                     any_success: jnp.ndarray, payload: jnp.ndarray,
                     jbest: jnp.ndarray):
         """On-device OSD fallback (fec/osd_jax.py): worth candidates whose
-        gated Fano lanes ALL failed get an order-<=2 ordered-statistics
+        gated Fano lanes ALL failed get an order-<=3 ordered-statistics
         decode of their most-synced gated jiggle lane. Failed lanes across
         the whole batch are compacted to DemodConfig.osd_max_lanes (the
         deep-SNR tail is sparse); lanes beyond the cap degrade gracefully
@@ -956,7 +956,7 @@ class DeviceDecoder:
             deint.reshape(L, J, 162), jsel[:, None, None], axis=1)[:, 0]
 
         ML = min(dcfg.osd_max_lanes, L)
-        order = min(dcfg.osd_depth, 2)
+        order = min(dcfg.osd_depth, 3)
         sel = jnp.argsort(~fail, stable=True)[:ML]
         lanes = soft[sel].astype(jnp.float32)
         u, q, _ = jax.vmap(

@@ -142,6 +142,20 @@ def main():
     log(f"{ok}/{N_WINDOWS} windows decoded correctly; "
         f"{dt / N_WINDOWS * 1000:.0f} ms/window")
 
+    # roofline/MFU attribution (SURVEY §7.1.9): XLA's own cost analysis
+    # on the compiled program vs the v5e peaks — is the remaining time
+    # MXU-bound, HBM-bound, or dispatch-bound?
+    try:
+        from uwspr_tpu.utils.roofline import analyze, cost_of
+        compiled = decoder.decode_windows_ri.lower(ri_j).compile()
+        flops, nbytes = cost_of(compiled)
+        if flops:
+            log("roofline: " + analyze(flops, nbytes, dt).line())
+        else:
+            log("roofline: cost analysis unavailable on this backend")
+    except Exception as e:  # never fail the bench over accounting
+        log(f"roofline: skipped ({e})")
+
     value = N_WINDOWS * 45000.0 / dt if ok else 0.0
     print(json.dumps({
         "metric": "window_samples_per_s_per_chip",

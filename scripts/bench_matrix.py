@@ -150,9 +150,15 @@ def row_deepsnr(n_windows=32, seed=5):
     resident Pallas Fano kernel keeps even all-timeout lanes under a
     second — with the spot set equal to the hybrid engine's (host C++
     Fano) on identical windows."""
+    # deep-SNR lane population is dominated by jiggle RETRIES: every
+    # worth candidate whose jiggle-0 lane fails gets 16 phase-2 lanes, so
+    # ~1-2 failing candidates/window x 16 x W windows ~ 1000 gated lanes.
+    # The bench headline's 2xW cap would overflow (observably) and decode
+    # fewer than the capless host engine — size for the retry population
+    # and report the counters.
     cfg = PipelineConfig(demod=DemodConfig(
         probe_dtype="bf16", refine_max_lanes=2 * n_windows,
-        fano_compact_lanes=2 * n_windows))
+        fano_compact_lanes=2048))
     dev = DeviceDecoder(cfg)
     hyb = DeviceDecoder(cfg, fano_mode="host")
     rng = np.random.default_rng(seed)
@@ -181,6 +187,8 @@ def row_deepsnr(n_windows=32, seed=5):
             "decoded_device": ok,
             "decoded_hybrid": sum("VE3EMB FN25 30" in m for m in hyb_msgs),
             "spot_set_agreement": f"{agree}/{n_windows}",
+            "gated_fano_lanes": int(typed.fano_attempts.sum()),
+            "fano_overflow": int(typed.fano_overflow.sum()),
             "rt_factor": round(HOP_S * n_windows / dt, 1),
         })
         log(f"  {snr_db}: {sub[-1]}")
@@ -233,23 +241,40 @@ def row_channels(n_ch=256, snr_db=-18.0, seed=4, step=128):
 
 def main():
     round_n = 3
+    only = None
     for a in sys.argv[1:]:
         if a.startswith("--round="):
             round_n = int(a.split("=")[1])
+        if a.startswith("--only="):        # rerun one row, merge in place
+            only = a.split("=")[1]
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    fns = [row_golden, row_wideband, row_deepsnr, row_channels]
+    if only:
+        fns = [f for f in fns if only in f.__name__]
     rows = []
-    for fn in (row_golden, row_wideband, row_deepsnr, row_channels):
+    for fn in fns:
         log(f"--- {fn.__name__} ---")
         r = fn()
         rows.append(r)
         print(json.dumps(r), flush=True)
-    art = {
-        "hardware": str(jax.devices()[0]),
-        "baseline": "reference real-time budget: one 45000-sample window "
-                    "per 9 s hop per channel on one CPU thread (BASELINE.md)",
-        "rows": rows,
-    }
     out = ROOT / f"BENCH_MATRIX_r{round_n:02d}.json"
+    if only and out.exists():              # merge the rerun row(s)
+        art = json.loads(out.read_text())
+        new_cfgs = {r["config"] for r in rows}
+        art["rows"] = [r for r in art["rows"]
+                       if r["config"] not in new_cfgs] + rows
+        # keep the canonical row order
+        order = ["golden_single", "wideband_multi",
+                 "deepsnr_device_full_budget", "channels_256"]
+        art["rows"].sort(key=lambda r: order.index(r["config"]))
+    else:
+        art = {
+            "hardware": str(jax.devices()[0]),
+            "baseline": "reference real-time budget: one 45000-sample "
+                        "window per 9 s hop per channel on one CPU thread "
+                        "(BASELINE.md)",
+            "rows": rows,
+        }
     out.write_text(json.dumps(art, indent=1) + "\n")
     log(f"wrote {out}")
 

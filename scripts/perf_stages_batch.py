@@ -115,6 +115,8 @@ def main():
     stages = ([None] if os.environ.get("UWSPR_ONLY_FULL") == "1" else
               ["post_peaks", "post_coarse", "post_phase_a", "post_head",
                "post_refine", "pre_fano", None])
+    from uwspr_tpu.utils.roofline import analyze, cost_of
+    prev_cost = (0.0, 0.0)
     for stage in stages:
         dec = DeviceDecoder(cfg, truncate_stage=stage)
         t0 = time.perf_counter()
@@ -124,6 +126,18 @@ def main():
         t = timed(dec.decode_windows_ri, ri)
         print(f"{str(stage):>12}: {t * 1000 / W:7.3f} ms/win "
               f"(+{(t - prev) * 1000 / W:6.3f})", flush=True)
+        # per-stage roofline: delta FLOPs/bytes of the truncated programs
+        # over the delta time = the stage's own utilization/attribution
+        # (SURVEY §7.1.9)
+        try:
+            flops, nbytes = cost_of(dec.decode_windows_ri.lower(ri).compile())
+        except Exception:
+            flops = nbytes = 0.0
+        if flops and t > prev:
+            r = analyze(flops - prev_cost[0], nbytes - prev_cost[1],
+                        t - prev)
+            print(f"{'':>14}" + r.line(), flush=True)
+        prev_cost = (flops, nbytes) if flops else prev_cost
         prev = t
 
 

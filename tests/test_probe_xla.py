@@ -57,3 +57,36 @@ def test_shared_slice_edge_lags():
                                          jnp.asarray(drift), n_lags=3)
         np.testing.assert_allclose(np.asarray(p_new), np.asarray(p_ref),
                                    rtol=2e-4, atol=2e-2)
+
+
+def test_make_shared_probe_lanes_matches_per_window():
+    """The cross-window lane variant must reproduce make_shared_probe
+    element-exactly for every (window, center) pair — it is the same
+    block-row gather with a widx*nblk row offset."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uwspr_tpu.demod.finesync import (
+        make_shared_probe,
+        make_shared_probe_lanes,
+    )
+
+    rng = np.random.default_rng(3)
+    B, N = 3, 46000
+    z_all = (rng.normal(size=(B, N))
+             + 1j * rng.normal(size=(B, N))).astype(np.complex64)
+    centers = rng.integers(0, 26 * 128, size=9).astype(np.int32)
+    widx = np.array([0, 1, 2, 2, 1, 0, 1, 2, 0], np.int32)
+
+    A_l, base_l = make_shared_probe_lanes(
+        jnp.asarray(z_all), jnp.asarray(widx), jnp.asarray(centers),
+        reach=128, W=640, block=128)
+    for b in range(B):
+        lanes_b = np.flatnonzero(widx == b)
+        A_w, base_w = make_shared_probe(
+            jnp.asarray(z_all[b]), jnp.asarray(centers[lanes_b]),
+            reach=128, W=640, block=128)
+        np.testing.assert_array_equal(np.asarray(base_l)[lanes_b],
+                                      np.asarray(base_w))
+        np.testing.assert_array_equal(np.asarray(A_l)[lanes_b],
+                                      np.asarray(A_w))

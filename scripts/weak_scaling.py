@@ -181,9 +181,13 @@ def main():
     base = next(r["throughput_window_samples_per_s"] for r in results
                 if r["axis"] == "channel" and r["devices"] == 1)
     for r in results:
+        # ideal weak scaling = N x the 1-device throughput, independent
+        # of wins_per_shard (each device spends wps x longer per step on
+        # wps x the windows — throughput, not step time, is the
+        # invariant), so normalize by devices, NOT windows_per_step
         r["efficiency_vs_1dev"] = round(
             r["throughput_window_samples_per_s"]
-            / (base * r["windows_per_step"]), 3)
+            / (base * r["devices"]), 3)
 
     halo_bytes = (45000 - 3375) * 8
     doc = {

@@ -50,7 +50,20 @@ def main():
     print("backend:", jax.default_backend(), jax.devices(), "W =", W,
           flush=True)
     ri = make_batch()
-    dec = DeviceDecoder()
+    # serving-config knobs (same env names as perf_stages_batch.py)
+    import os
+    lanes_k = int(os.environ.get("UWSPR_REFINE_LANES", "0"))
+    dtype = os.environ.get("UWSPR_PROBE_DTYPE", "f32")
+    fano_lanes = int(os.environ.get("UWSPR_FANO_LANES", "0"))
+    if lanes_k or fano_lanes or dtype != "f32":
+        from uwspr_tpu.config import DemodConfig, PipelineConfig
+        dec = DeviceDecoder(PipelineConfig(demod=DemodConfig(
+            refine_max_lanes=lanes_k, probe_dtype=dtype,
+            fano_compact_lanes=fano_lanes)))
+        print(f"refine_lanes={lanes_k} dtype={dtype} fano_lanes={fano_lanes}",
+              flush=True)
+    else:
+        dec = DeviceDecoder()
     t0 = time.perf_counter()
     np.asarray(dec.decode_windows_ri(ri))
     print(f"compile+first: {time.perf_counter() - t0:.1f} s", flush=True)

@@ -203,10 +203,36 @@ _FRAME = 162 * 256
 _REACH = 224            # max |lag - center| across all stages (128+32+64)
 
 
+def _overlap_blocks(A: jnp.ndarray, W: int) -> jnp.ndarray:
+    """(.., _FRAME+W) gathered span -> (.., 162, W) overlapped symbol rows.
+
+    Columns [o, o+n) of row i live at A[.., o + 256*i : o + 256*i + n].
+    Each sub-block slice materializes a full (.., _FRAME) frame copy, so
+    emit 256-wide sub-blocks (fully kept) wherever possible and a
+    half-kept 128-wide one only for a remainder."""
+    lead = A.shape[:-1]
+    blocks, off = [], 0
+    while off < W:
+        blk = A[..., off: off + _FRAME].reshape(lead + (162, 256))
+        if W - off >= 256:
+            blocks.append(blk)
+            off += 256
+        else:
+            blocks.append(blk[..., :128])
+            off += 128
+    return jnp.concatenate(blocks, axis=-1)
+
+
 def make_shared_probe(z: jnp.ndarray, center: jnp.ndarray, *,
-                      reach: int = _REACH, W: int = _W, block: int = 256):
-    """(N,) complex z + (C,) int32 lag centers -> (Amat (C,162,W) complex,
-    base (C,) int32 absolute padded start).
+                      reach: int = _REACH, W: int = _W, block: int = 256,
+                      dtype: str = "c64"):
+    """(N,) complex z + (C,) int32 lag centers -> (Amat, base (C,) int32
+    absolute padded start). dtype "c64": Amat (C,162,W) complex64.
+    dtype "bf16": Amat (C,2,162,W) bfloat16 real/imag planes — the whole
+    construction chain (block gather, overlap rows, concat) runs at half
+    the HBM bytes, and downstream consumers skip their f32->bf16 casts;
+    this chain is ~60% of the serving program's device time (HLO trace,
+    v5e), all of it HBM-bound.
 
     Amat[c, i, j'] = zp[base_c + 256*i + j']: overlapped 512-stride rows
     covering every probe lag within center +/- reach.  base is aligned to
@@ -217,7 +243,6 @@ def make_shared_probe(z: jnp.ndarray, center: jnp.ndarray, *,
     """
     assert W % 128 == 0 and W % block == 0, (W, block)
     assert W >= 2 * reach + 256 + (block - 1), (W, reach, block)
-    N = z.shape[0]
     C = center.shape[0]
     zp = jnp.pad(z, (_PAD, _PAD + W)).at[_PAD].set(0)
     start_min = center.astype(jnp.int32) + _PAD - reach
@@ -228,31 +253,29 @@ def make_shared_probe(z: jnp.ndarray, center: jnp.ndarray, *,
     # while-loop over (window, candidate) pairs on TPU (~0.4 ms/window);
     # the block-row gather below is one vectorized gather.
     nblk = -(-zp.shape[0] // block)
-    zblk = jnp.pad(zp, (0, nblk * block - zp.shape[0])).reshape(nblk, block)
+    zpad = jnp.pad(zp, (0, nblk * block - zp.shape[0]))
     rows = base[:, None] // block + jnp.arange((_FRAME + W) // block)[None, :]
-    A = zblk[rows].reshape(C, _FRAME + W)
-    # overlapped rows: columns [o, o+n) of row i live at
-    # A[:, o + 256*i : o + 256*i + n]. Each sub-block slice materializes a
-    # full (C, _FRAME) frame copy, so emit 256-wide sub-blocks (fully kept)
-    # wherever possible and a half-kept 128-wide one only for a remainder.
-    blocks, off = [], 0
-    while off < W:
-        blk = A[:, off: off + _FRAME].reshape(C, 162, 256)
-        if W - off >= 256:
-            blocks.append(blk)
-            off += 256
-        else:
-            blocks.append(blk[:, :, :128])
-            off += 128
-    return jnp.concatenate(blocks, axis=2), base
+    if dtype == "bf16":
+        # real/imag planes stacked along the block-row axis (plane-major),
+        # so both planes ride the SAME vectorized gather
+        zblk = jnp.stack([jnp.real(zpad), jnp.imag(zpad)]).astype(
+            jnp.bfloat16).reshape(2 * nblk, block)
+        rows2 = rows[:, None, :] + (jnp.arange(2) * nblk)[None, :, None]
+        A = zblk[rows2].reshape(C, 2, _FRAME + W)
+    else:
+        zblk = zpad.reshape(nblk, block)
+        A = zblk[rows].reshape(C, _FRAME + W)
+    return _overlap_blocks(A, W), base
 
 
 def make_shared_probe_lanes(z_all: jnp.ndarray, widx: jnp.ndarray,
                             center: jnp.ndarray, *, reach: int = _REACH,
-                            W: int = _W, block: int = 256):
+                            W: int = _W, block: int = 256,
+                            dtype: str = "c64"):
     """Cross-window lane variant of make_shared_probe: (B, N) complex
     windows + (L,) per-lane window indices + (L,) lag centers ->
-    (Amat (L, 162, W) complex, base (L,) int32).
+    (Amat (L, 162, W) complex — or (L, 2, 162, W) bfloat16 real/imag
+    planes for dtype "bf16" — and base (L,) int32).
 
     Identical per-lane semantics to make_shared_probe(z_all[widx[l]],
     center[l:l+1]) — the block-row gather just adds a widx*nblk row
@@ -270,22 +293,24 @@ def make_shared_probe_lanes(z_all: jnp.ndarray, widx: jnp.ndarray,
     start_min = center.astype(jnp.int32) + _PAD - reach
     base = jnp.clip((start_min // block) * block, 0, Np - (_FRAME + W))
     nblk = -(-Np // block)
-    zblk = jnp.pad(zp, ((0, 0), (0, nblk * block - Np))
-                   ).reshape(B * nblk, block)
-    rows = (widx.astype(jnp.int32) * nblk + base // block)[:, None] \
-        + jnp.arange((_FRAME + W) // block)[None, :]
+    zpad = jnp.pad(zp, ((0, 0), (0, nblk * block - Np)))
     L = center.shape[0]
-    A = zblk[rows].reshape(L, _FRAME + W)
-    blocks, off = [], 0
-    while off < W:
-        blk = A[:, off: off + _FRAME].reshape(L, 162, 256)
-        if W - off >= 256:
-            blocks.append(blk)
-            off += 256
-        else:
-            blocks.append(blk[:, :, :128])
-            off += 128
-    return jnp.concatenate(blocks, axis=2), base
+    nrange = jnp.arange((_FRAME + W) // block)
+    if dtype == "bf16":
+        # per window: [real rows | imag rows] (plane-major within window)
+        zblk = jnp.stack([jnp.real(zpad), jnp.imag(zpad)], axis=1).astype(
+            jnp.bfloat16).reshape(B * 2 * nblk, block)
+        rows = ((widx.astype(jnp.int32) * 2 * nblk
+                 + base // block)[:, None, None]
+                + (jnp.arange(2) * nblk)[None, :, None]
+                + nrange[None, None, :])
+        A = zblk[rows].reshape(L, 2, _FRAME + W)
+    else:
+        zblk = zpad.reshape(B * nblk, block)
+        rows = (widx.astype(jnp.int32) * nblk + base // block)[:, None] \
+            + nrange[None, :]
+        A = zblk[rows].reshape(L, _FRAME + W)
+    return _overlap_blocks(A, W), base
 
 
 def phasor_ramp(theta: jnp.ndarray, W: int) -> jnp.ndarray:
@@ -308,15 +333,51 @@ def phasor_ramp(theta: jnp.ndarray, W: int) -> jnp.ndarray:
     return (v[..., :, None] * u[..., None, :]).reshape(theta.shape + (W,))
 
 
+def _phasor_ramp_ri(theta: jnp.ndarray, W: int, dtype) -> tuple:
+    """phasor_ramp as (cos, sin) planes materialized in ``dtype``.
+
+    Same split-exponential evaluation; the outer products emit directly
+    at the storage dtype (bfloat16 halves the two (C,162,W) ramp planes,
+    the second-largest tensors of the refine stages after the windows
+    themselves). Unit-phasor bf16 rounding is ~0.4% per element —
+    noise-floor-level against the magnitude-only correlations."""
+    j1 = jnp.arange(64, dtype=jnp.float32)
+    j2 = jnp.arange(W // 64, dtype=jnp.float32) * 64.0
+    a1 = theta[..., None] * j1
+    a2 = theta[..., None] * j2
+    ur, ui = jnp.cos(a1), jnp.sin(a1)                   # (..., 64)
+    vr, vi = jnp.cos(a2), jnp.sin(a2)                   # (..., W/64)
+    cr = (vr[..., :, None] * ur[..., None, :]
+          - vi[..., :, None] * ui[..., None, :]).astype(dtype)
+    ci = (vr[..., :, None] * ui[..., None, :]
+          + vi[..., :, None] * ur[..., None, :]).astype(dtype)
+    shp = theta.shape + (W,)
+    return cr.reshape(shp), ci.reshape(shp)
+
+
 def probe_derotate(Amat: jnp.ndarray, drift_sym: jnp.ndarray) -> jnp.ndarray:
     """Apply the per-symbol drift phasor at the aligned index j'.
 
     Evaluating at the window-local index (not the absolute sample index)
     rotates each (candidate, symbol) row by a constant unit phasor, which
     factors out of every per-row correlation — only |corr| is consumed.
+
+    Accepts either the complex64 (C,162,W) window or the bfloat16
+    (C,2,162,W) real/imag-plane form (make_shared_probe dtype="bf16");
+    the bf16 branch reads and writes only bf16 bytes (the complex
+    multiply runs in f32 registers, converts fused into the elementwise
+    op).
     """
     theta = (-2.0 * jnp.pi * _DT) * drift_sym
-    return Amat * phasor_ramp(theta, Amat.shape[-1])
+    if jnp.iscomplexobj(Amat):
+        return Amat * phasor_ramp(theta, Amat.shape[-1])
+    cr, ci = _phasor_ramp_ri(theta, Amat.shape[-1], Amat.dtype)
+    ar = Amat[..., 0, :, :].astype(jnp.float32)
+    ai = Amat[..., 1, :, :].astype(jnp.float32)
+    crf, cif = cr.astype(jnp.float32), ci.astype(jnp.float32)
+    zr = (ar * crf - ai * cif).astype(Amat.dtype)
+    zi = (ar * cif + ai * crf).astype(Amat.dtype)
+    return jnp.stack([zr, zi], axis=-3)
 
 
 def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
@@ -330,8 +391,9 @@ def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
     matmuls with float32 accumulation. Inputs are unit-scale phasors
     times the window, so bf16's 8-bit mantissa costs ~0.4% relative
     error per element, averaged down by the 256-sample accumulation.
-    Measured only ~7% faster on v5e (the stage is bank-construction/
-    HBM-bound, not MXU-bound), so "f32" remains the default."""
+    zd may then also arrive as the (C,2,162,W) bfloat16 real/imag-plane
+    window (probe_derotate of a make_shared_probe dtype="bf16" build),
+    which skips the f32->bf16 casts entirely."""
     C, F = freqs.shape
     W = zd.shape[-1]
     jpf = jnp.arange(W, dtype=jnp.float32)
@@ -351,16 +413,26 @@ def shared_probe_eval(zd: jnp.ndarray, base: jnp.ndarray, lags: jnp.ndarray,
             ).astype(jnp.float32)                                 # (C, L, W)
     if dtype == "bf16":
         bf = jnp.bfloat16
-        br = (jnp.real(bank) * mask[:, :, None, :]).astype(bf)   # (C,L,4F,W)
-        bi = (jnp.imag(bank) * mask[:, :, None, :]).astype(bf)
-        zr = jnp.real(zd).astype(bf)
-        zi = jnp.imag(zd).astype(bf)
+        # cast-before-multiply: mask is exactly 0/1, so the product is
+        # bit-identical to multiply-then-cast but never materializes the
+        # (C,L,4F,W) f32 intermediate
+        maskb = mask.astype(bf)[:, :, None, :]
+        br = jnp.real(bank).astype(bf) * maskb                   # (C,L,4F,W)
+        bi = jnp.imag(bank).astype(bf) * maskb
+        if jnp.iscomplexobj(zd):
+            zr = jnp.real(zd).astype(bf)
+            zi = jnp.imag(zd).astype(bf)
+        else:
+            zr = zd[..., 0, :, :]
+            zi = zd[..., 1, :, :]
         dot = functools.partial(jnp.einsum, "ciw,clmw->clim",
                                 preferred_element_type=jnp.float32)
         re = dot(zr, br) - dot(zi, bi)
         im = dot(zr, bi) + dot(zi, br)
         p = jnp.sqrt(re * re + im * im).reshape(C, n_lags, 162, F, 4)
     else:
+        assert jnp.iscomplexobj(zd), (
+            "RI-plane zd requires dtype='bf16'")
         bankm = bank * mask[:, :, None, :]                        # (C,L,4F,W)
         corr = jnp.einsum("ciw,clmw->clim", zd, bankm,
                           preferred_element_type=jnp.complex64)

@@ -294,9 +294,10 @@ class DeviceDecoder:
         st = self._coarse_stage(z)
         if "_t" in st:
             return st
+        pdt = "bf16" if self.config.demod.probe_dtype == "bf16" else "c64"
         return self._refine_common(
             st, probe=lambda center, reach, W, block: make_shared_probe(
-                z, center, reach=reach, W=W, block=block))
+                z, center, reach=reach, W=W, block=block, dtype=pdt))
 
     def _coarse_stage(self, z: jnp.ndarray) -> dict:
         """Samples -> (C,) per-candidate coarse metadata (peak pick +
@@ -401,7 +402,7 @@ class DeviceDecoder:
         # any candidate's window start b lies in [96, 224), so derotating
         # the static 384-column slice [96, 480) covers every probe at ~60%
         # of the full-width cost per probe
-        Amat2d = Amat2[:, :, 96:480]
+        Amat2d = Amat2[..., 96:480]
         base2d = base2 + 96
         is_lin = mode != 1
         driftp = drift1 + 0.5
@@ -419,11 +420,13 @@ class DeviceDecoder:
         drift1 = jnp.where(updp, driftp, jnp.where(updm, driftm, drift1))
         sync1 = jnp.where(updp, sp, jnp.where(updm, sm_, sync1))
         if self.truncate_stage == "post_head":
-            # the real(...)+imag(...) sums force the phase-B window build
-            # (gather + overlap rows) at ~one full read of Amat2 — cheap
-            # relative to the stages it separates
-            return {"_t": sync1.sum() + drift1.sum()
-                    + jnp.real(Amat2).sum() + jnp.imag(Amat2).sum()}
+            # the sum forces the phase-B window build (gather + overlap
+            # rows) at ~one full read of Amat2 — cheap relative to the
+            # stages it separates
+            force = (jnp.real(Amat2).sum() + jnp.imag(Amat2).sum()
+                     if jnp.iscomplexobj(Amat2)
+                     else Amat2.astype(jnp.float32).sum())
+            return {"_t": sync1.sum() + drift1.sum() + force}
         return {
             "valid": valid, "snr": snr, "freq": f1, "shift": shift1,
             "drift": drift1, "mode": mode, "slm_params": slm_params,
@@ -731,10 +734,11 @@ class DeviceDecoder:
         sel = jnp.argsort(key, stable=True)[:ML]
         widx = (sel // C).astype(jnp.int32)
         st = {k: v[sel] for k, v in flat.items()}
+        pdt = "bf16" if dcfg.probe_dtype == "bf16" else "c64"
         head = self._refine_common(
             st, probe=lambda center, reach, Wp, block:
             make_shared_probe_lanes(z_all, widx, center, reach=reach,
-                                    W=Wp, block=block))
+                                    W=Wp, block=block, dtype=pdt))
 
         # post-worth tail on the compacted lanes (sub-compacted further if
         # refine_max_lanes is set and smaller)

@@ -256,12 +256,16 @@ def make_shared_probe(z: jnp.ndarray, center: jnp.ndarray, *,
     zpad = jnp.pad(zp, (0, nblk * block - zp.shape[0]))
     rows = base[:, None] // block + jnp.arange((_FRAME + W) // block)[None, :]
     if dtype == "bf16":
-        # real/imag planes stacked along the block-row axis (plane-major),
-        # so both planes ride the SAME vectorized gather
-        zblk = jnp.stack([jnp.real(zpad), jnp.imag(zpad)]).astype(
-            jnp.bfloat16).reshape(2 * nblk, block)
-        rows2 = rows[:, None, :] + (jnp.arange(2) * nblk)[None, :, None]
-        A = zblk[rows2].reshape(C, 2, _FRAME + W)
+        # pair-plane rows: row r = [real block r | imag block r], so the
+        # gather keeps the f32 path's row COUNT (TPU gathers are
+        # per-row-latency-bound — doubling rows at half width measured
+        # 1.6x slower) at half the bytes per row
+        zblk = jnp.stack([jnp.real(zpad).reshape(nblk, block),
+                          jnp.imag(zpad).reshape(nblk, block)],
+                         axis=1).astype(jnp.bfloat16).reshape(nblk,
+                                                              2 * block)
+        A = (zblk[rows].reshape(C, -1, 2, block)
+             .swapaxes(1, 2).reshape(C, 2, _FRAME + W))
     else:
         zblk = zpad.reshape(nblk, block)
         A = zblk[rows].reshape(C, _FRAME + W)
@@ -296,19 +300,19 @@ def make_shared_probe_lanes(z_all: jnp.ndarray, widx: jnp.ndarray,
     zpad = jnp.pad(zp, ((0, 0), (0, nblk * block - Np)))
     L = center.shape[0]
     nrange = jnp.arange((_FRAME + W) // block)
+    rows = (widx.astype(jnp.int32) * nblk + base // block)[:, None] \
+        + nrange[None, :]
     if dtype == "bf16":
-        # per window: [real rows | imag rows] (plane-major within window)
-        zblk = jnp.stack([jnp.real(zpad), jnp.imag(zpad)], axis=1).astype(
-            jnp.bfloat16).reshape(B * 2 * nblk, block)
-        rows = ((widx.astype(jnp.int32) * 2 * nblk
-                 + base // block)[:, None, None]
-                + (jnp.arange(2) * nblk)[None, :, None]
-                + nrange[None, None, :])
-        A = zblk[rows].reshape(L, 2, _FRAME + W)
+        # pair-plane rows (see make_shared_probe): same row count as f32,
+        # half the bytes per row
+        zblk = jnp.stack([jnp.real(zpad).reshape(B * nblk, block),
+                          jnp.imag(zpad).reshape(B * nblk, block)],
+                         axis=1).astype(jnp.bfloat16).reshape(B * nblk,
+                                                              2 * block)
+        A = (zblk[rows].reshape(L, -1, 2, block)
+             .swapaxes(1, 2).reshape(L, 2, _FRAME + W))
     else:
         zblk = zpad.reshape(B * nblk, block)
-        rows = (widx.astype(jnp.int32) * nblk + base // block)[:, None] \
-            + nrange[None, :]
         A = zblk[rows].reshape(L, _FRAME + W)
     return _overlap_blocks(A, W), base
 
@@ -345,12 +349,16 @@ def _phasor_ramp_ri(theta: jnp.ndarray, W: int, dtype) -> tuple:
     j2 = jnp.arange(W // 64, dtype=jnp.float32) * 64.0
     a1 = theta[..., None] * j1
     a2 = theta[..., None] * j2
-    ur, ui = jnp.cos(a1), jnp.sin(a1)                   # (..., 64)
-    vr, vi = jnp.cos(a2), jnp.sin(a2)                   # (..., W/64)
+    # cast the tiny factors BEFORE the outer products so the W-wide
+    # results are computed and materialized at the storage dtype (an
+    # astype on the f32 product materializes the f32 intermediate first
+    # — measured 690 MB/plane at the W=128 batch)
+    ur, ui = jnp.cos(a1).astype(dtype), jnp.sin(a1).astype(dtype)
+    vr, vi = jnp.cos(a2).astype(dtype), jnp.sin(a2).astype(dtype)
     cr = (vr[..., :, None] * ur[..., None, :]
-          - vi[..., :, None] * ui[..., None, :]).astype(dtype)
+          - vi[..., :, None] * ui[..., None, :])
     ci = (vr[..., :, None] * ui[..., None, :]
-          + vi[..., :, None] * ur[..., None, :]).astype(dtype)
+          + vi[..., :, None] * ur[..., None, :])
     shp = theta.shape + (W,)
     return cr.reshape(shp), ci.reshape(shp)
 
@@ -372,11 +380,14 @@ def probe_derotate(Amat: jnp.ndarray, drift_sym: jnp.ndarray) -> jnp.ndarray:
     if jnp.iscomplexobj(Amat):
         return Amat * phasor_ramp(theta, Amat.shape[-1])
     cr, ci = _phasor_ramp_ri(theta, Amat.shape[-1], Amat.dtype)
-    ar = Amat[..., 0, :, :].astype(jnp.float32)
-    ai = Amat[..., 1, :, :].astype(jnp.float32)
-    crf, cif = cr.astype(jnp.float32), ci.astype(jnp.float32)
-    zr = (ar * crf - ai * cif).astype(Amat.dtype)
-    zi = (ar * cif + ai * crf).astype(Amat.dtype)
+    # all-bf16 elementwise: upcasting the operands materializes f32
+    # copies of the two largest tensors in the program (measured); the
+    # extra bf16 rounding is noise-floor-level for the magnitude-only
+    # correlations downstream
+    ar = Amat[..., 0, :, :]
+    ai = Amat[..., 1, :, :]
+    zr = ar * cr - ai * ci
+    zi = ar * ci + ai * cr
     return jnp.stack([zr, zi], axis=-3)
 
 

@@ -36,13 +36,29 @@ TRACE_DIR = "/tmp/uwspr-trace"
 
 
 def make_batch(seed=0):
+    import os
     rng = np.random.default_rng(seed)
     wins = []
-    for w in range(W):
-        z = synthesize_frame("VE3EMB", "FN25", 30,
-                             start_sample=int(rng.integers(0, 3000)),
-                             freq_offset=float(rng.uniform(-100, 100)))
-        wins.append(awgn(z, -18, rng=rng))
+    if os.environ.get("UWSPR_WIDEBAND") == "1":
+        from uwspr_tpu.io.channel import noise_sigma
+        sigma = noise_sigma(-15.0)
+        for w in range(W):
+            z = (rng.normal(scale=sigma, size=45000)
+                 + 1j * rng.normal(scale=sigma, size=45000)
+                 ).astype(np.complex64)
+            for k, f in enumerate(np.linspace(-170, 170, 10)):
+                z += synthesize_frame(
+                    "VE3EMB", "FN25", 30,
+                    start_sample=int(rng.integers(0, 2000)),
+                    freq_offset=float(f + rng.uniform(-2, 2)),
+                    pad_to=45000)
+            wins.append(z)
+    else:
+        for w in range(W):
+            z = synthesize_frame("VE3EMB", "FN25", 30,
+                                 start_sample=int(rng.integers(0, 3000)),
+                                 freq_offset=float(rng.uniform(-100, 100)))
+            wins.append(awgn(z, -18, rng=rng))
     return jnp.asarray(np.stack([complex_to_ri(z) for z in wins]))
 
 
@@ -55,13 +71,19 @@ def main():
     lanes_k = int(os.environ.get("UWSPR_REFINE_LANES", "0"))
     dtype = os.environ.get("UWSPR_PROBE_DTYPE", "f32")
     fano_lanes = int(os.environ.get("UWSPR_FANO_LANES", "0"))
-    if lanes_k or fano_lanes or dtype != "f32":
-        from uwspr_tpu.config import DemodConfig, PipelineConfig
-        dec = DeviceDecoder(PipelineConfig(demod=DemodConfig(
+    cand_lanes = int(os.environ.get("UWSPR_CAND_LANES", "0"))
+    wb = os.environ.get("UWSPR_WIDEBAND") == "1"
+    if lanes_k or fano_lanes or cand_lanes or dtype != "f32" or wb:
+        from uwspr_tpu.config import (CoarseConfig, DemodConfig,
+                                      PipelineConfig)
+        coarse = (CoarseConfig(halfbandwidth=187, maxfreqs=200) if wb
+                  else CoarseConfig())
+        dec = DeviceDecoder(PipelineConfig(coarse=coarse,
+                                           demod=DemodConfig(
             refine_max_lanes=lanes_k, probe_dtype=dtype,
-            fano_compact_lanes=fano_lanes)))
-        print(f"refine_lanes={lanes_k} dtype={dtype} fano_lanes={fano_lanes}",
-              flush=True)
+            fano_compact_lanes=fano_lanes, cand_compact_lanes=cand_lanes)))
+        print(f"refine_lanes={lanes_k} dtype={dtype} fano_lanes={fano_lanes}"
+              f" cand_lanes={cand_lanes} wideband={wb}", flush=True)
     else:
         dec = DeviceDecoder()
     t0 = time.perf_counter()

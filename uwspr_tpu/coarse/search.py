@@ -259,8 +259,12 @@ def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
             jax.lax.conv_general_dilated, window_strides=(1, 1),
             padding="VALID", rhs_dilation=(2, 1), dimension_numbers=dn,
             preferred_element_type=jnp.float32)
-        ss = conv(Ax, K_ss)[0, :, :n_lags].transpose(1, 0, 2)  # (w, m, f)
-        pw = conv(Bx, K_pw)[0, :, :n_lags].transpose(1, 0, 2)
+        # keep the conv's native (m, w, f) layout: transposing here
+        # materializes two full grids (2 x 214 MB at wideband W=32, ~30%
+        # of the coarse stage on v5e) — gather candidates in conv layout
+        # and transpose only the (C,5)-gathered result below
+        ss = conv(Ax, K_ss)[0, :, :n_lags]                 # (m, w, f)
+        pw = conv(Bx, K_pw)[0, :, :n_lags]
     else:
         # shifted copies: S[row, d, f] = X[row, f + d + _D_MIN]
         padA = jnp.pad(A, ((0, 0), (_N_SHIFTS, _N_SHIFTS)))
@@ -279,12 +283,16 @@ def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
                         preferred_element_type=jnp.float32)
         pw = jnp.einsum("mkd,wkdf->wmf", onehot, XB,
                         preferred_element_type=jnp.float32)
-    # per-candidate frequency gather: ifr = if0 + (-2..2)
+    # per-candidate frequency gather: ifr = if0 + (-2..2). The conv
+    # branch carries (m, w, f), the einsum branch (w, m, f); both gather
+    # the same elements and differ only in the final transpose — the
+    # division itself is element-for-element identical either way.
     ifr = if0[:, None] + jnp.arange(-2, 3)[None, :] - lo   # (C, 5)
-    ss_c = ss[:, :, ifr]                                   # (w, m, C, 5)
+    ss_c = ss[:, :, ifr]                                   # (., ., C, 5)
     pw_c = pw[:, :, ifr]
     sync = ss_c / pw_c
-    return jnp.transpose(sync, (2, 3, 0, 1)).astype(jnp.float32)  # (C,5,w,M)
+    perm = (2, 3, 1, 0) if impl == "conv" else (2, 3, 0, 1)
+    return jnp.transpose(sync, perm).astype(jnp.float32)   # (C,5,w,M)
 
 
 # ---------------------------------------------------------------------------

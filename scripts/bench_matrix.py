@@ -68,10 +68,13 @@ def timed_batch(decoder, ri, reps=3):
     t0 = time.time()
     out = np.asarray(decoder.decode_windows_ri(ri_j))
     log(f"  compile+first: {time.time() - t0:.1f}s")
+    # dispatch all reps, then fetch (bench.py's steady-state serving
+    # pattern): batch k+1's compute overlaps batch k's ~30 ms tunneled
+    # d2h RPC, which otherwise dominates small-W rows (~1 ms/win at W=32)
     t0 = time.time()
-    for _ in range(reps):
-        out = np.asarray(decoder.decode_windows_ri(ri_j))
-    return out, (time.time() - t0) / reps
+    pending = [decoder.decode_windows_ri(ri_j) for _ in range(reps)]
+    outs = [np.asarray(p) for p in pending]
+    return outs[-1], (time.time() - t0) / reps
 
 
 def row_golden():

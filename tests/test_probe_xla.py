@@ -90,3 +90,71 @@ def test_make_shared_probe_lanes_matches_per_window():
                                       np.asarray(base_w))
         np.testing.assert_array_equal(np.asarray(A_l)[lanes_b],
                                       np.asarray(A_w))
+
+
+def test_make_shared_probe_bf16_matches_complex():
+    """The bf16 real/imag-plane construction (pair-plane gather rows +
+    overlap blocks) must equal the complex builder cast to bf16, element
+    for element, for both the per-window and the cross-window-lane
+    variants — the only difference is WHERE the bf16 rounding happens
+    (before the gather), and gathers don't do arithmetic."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uwspr_tpu.demod.finesync import (
+        make_shared_probe,
+        make_shared_probe_lanes,
+    )
+
+    rng = np.random.default_rng(7)
+    B, N = 2, 46000
+    z_all = (rng.normal(size=(B, N))
+             + 1j * rng.normal(size=(B, N))).astype(np.complex64)
+    centers = rng.integers(0, 26 * 128, size=6).astype(np.int32)
+    widx = np.array([0, 1, 1, 0, 1, 0], np.int32)
+
+    # per-window
+    A_c, base_c = make_shared_probe(
+        jnp.asarray(z_all[0]), jnp.asarray(centers), reach=128, W=640,
+        block=128)
+    A_b, base_b = make_shared_probe(
+        jnp.asarray(z_all[0]), jnp.asarray(centers), reach=128, W=640,
+        block=128, dtype="bf16")
+    assert A_b.dtype == jnp.bfloat16 and A_b.shape == (6, 2, 162, 640)
+    np.testing.assert_array_equal(np.asarray(base_b), np.asarray(base_c))
+    ref = np.stack([np.real(np.asarray(A_c)), np.imag(np.asarray(A_c))],
+                   axis=1).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(A_b), ref)
+
+    # cross-window lanes
+    A_lc, base_lc = make_shared_probe_lanes(
+        jnp.asarray(z_all), jnp.asarray(widx), jnp.asarray(centers),
+        reach=96, W=640, block=128)
+    A_lb, base_lb = make_shared_probe_lanes(
+        jnp.asarray(z_all), jnp.asarray(widx), jnp.asarray(centers),
+        reach=96, W=640, block=128, dtype="bf16")
+    assert A_lb.shape == (6, 2, 162, 640)
+    np.testing.assert_array_equal(np.asarray(base_lb), np.asarray(base_lc))
+    ref = np.stack([np.real(np.asarray(A_lc)), np.imag(np.asarray(A_lc))],
+                   axis=1).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(A_lb), ref)
+
+
+def test_phasor_ramp_ri_matches_complex():
+    """_phasor_ramp_ri == phasor_ramp up to one bf16 rounding per factor
+    (same split-exponential evaluation; only the outer-product operands
+    are pre-rounded)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uwspr_tpu.demod.finesync import _phasor_ramp_ri, phasor_ramp
+
+    rng = np.random.default_rng(9)
+    theta = rng.uniform(-0.01, 0.01, size=(4, 162)).astype(np.float32)
+    ref = np.asarray(phasor_ramp(jnp.asarray(theta), 640))
+    cr, ci = _phasor_ramp_ri(jnp.asarray(theta), 640, jnp.bfloat16)
+    assert cr.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(cr, np.float32), np.real(ref),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ci, np.float32), np.imag(ref),
+                               atol=2e-2)

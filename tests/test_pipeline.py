@@ -71,3 +71,37 @@ def test_sim_drift_injection_decodes(reference_examples):
     drifted = apply_sim_drift(c2.samples, drift_rate=0.005)
     result = WindowDecoder(PipelineConfig())(drifted)
     assert "VE3EMB FN25 30" in [s.message for s in result.spots]
+
+
+def test_with_serving_defaults():
+    """Serving defaults: bf16 + 2x-batch compaction for narrowband
+    default configs; explicit settings and wideband configs preserved."""
+    from uwspr_tpu.config import (CoarseConfig, DemodConfig, PipelineConfig,
+                                  with_serving_defaults)
+
+    base = PipelineConfig()
+    s = with_serving_defaults(base, 32)
+    assert s.demod.probe_dtype == "bf16"
+    assert s.demod.refine_max_lanes == 64
+    assert s.demod.fano_compact_lanes == 64
+    # per-window serving: no cross-window compaction
+    s1 = with_serving_defaults(base, 1)
+    assert s1.demod.probe_dtype == "bf16"
+    assert s1.demod.refine_max_lanes == 0
+    assert s1.demod.fano_compact_lanes == 0
+    # explicit settings win
+    exp = PipelineConfig(demod=DemodConfig(probe_dtype="bf16",
+                                           refine_max_lanes=512))
+    s2 = with_serving_defaults(exp, 32)
+    assert s2.demod.refine_max_lanes == 512
+    assert s2.demod.fano_compact_lanes == 64
+    # wideband static lane count: compaction stays opt-in
+    wb = PipelineConfig(coarse=CoarseConfig(halfbandwidth=187, maxfreqs=200))
+    s3 = with_serving_defaults(wb, 32)
+    assert s3.demod.probe_dtype == "bf16"
+    assert s3.demod.refine_max_lanes == 0
+    assert s3.demod.fano_compact_lanes == 0
+    # untouched config object comes back as-is when nothing applies
+    full = PipelineConfig(demod=DemodConfig(
+        probe_dtype="bf16", refine_max_lanes=8, fano_compact_lanes=8))
+    assert with_serving_defaults(full, 32) is full

@@ -45,6 +45,13 @@ def _make_engine(args, ht):
     config = _args_config(args)
     if engine in ("device", "hybrid"):
         from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+        if jax.default_backend() == "tpu":
+            # bench-measured TPU serving point (bf16 probe path) for
+            # fields left at config defaults; explicit flags win.
+            # _args_config returns None for "library defaults".
+            from uwspr_tpu.config import (PipelineConfig,
+                                          with_serving_defaults)
+            config = with_serving_defaults(config or PipelineConfig(), 1)
         dec = DeviceDecoder(
             config, fano_mode="host" if engine == "hybrid" else "device")
         return dec, lambda window: dec.spots(dec(window), ht), engine

@@ -202,7 +202,44 @@ class PipelineConfig:
 
 DEFAULT_CONFIG = PipelineConfig()
 
+
+def with_serving_defaults(config: PipelineConfig,
+                          batch_windows: int) -> PipelineConfig:
+    """The measured TPU serving point, applied to tuning fields the user
+    left at their dataclass defaults (explicitly-set values are kept).
+
+    The serving engines (StreamDecoder, BatchedStreamDecoder, the CLI)
+    call this so a default-config `uwspr serve` runs the same
+    configuration bench.py measures: bf16 probe einsums + bf16 window
+    construction (spot parity with f32 verified; deep-SNR rates
+    unchanged, SWEEP_OSD_DEVICE_r03), and cross-window refine/Fano lane
+    compaction sized 2x the batch width — >=2x headroom over the
+    ~one-worth-lane-per-window steady state, overflow observable via
+    fano_overflow.
+
+    Compaction defaults apply only to narrowband-ish configs (static
+    candidate-lane count <= 32): wideband worth-lane populations are
+    scene-dependent, and a DEFAULT must not silently degrade dense
+    scenes, so `refine_max_lanes`/`cand_compact_lanes` there stay
+    opt-in (scripts/bench_matrix.py row_wideband shows the sizing).
+    """
+    d, c = config.demod, config.coarse
+    upd = {}
+    if d.probe_dtype == "f32":
+        upd["probe_dtype"] = "bf16"
+    n_static = min(c.maxfreqs, (2 * c.hpbm - 1) // 2)  # coarse.max_peaks
+    if batch_windows > 1 and n_static <= 32:
+        if d.refine_max_lanes == 0:
+            upd["refine_max_lanes"] = 2 * batch_windows
+        if d.fano_compact_lanes == 0:
+            upd["fano_compact_lanes"] = 2 * batch_windows
+    if not upd:
+        return config
+    return dataclasses.replace(config,
+                               demod=dataclasses.replace(d, **upd))
+
+
 __all__ = [
     "CoarseConfig", "DemodConfig", "StreamConfig", "FrontendConfig",
-    "PipelineConfig", "DEFAULT_CONFIG",
+    "PipelineConfig", "DEFAULT_CONFIG", "with_serving_defaults",
 ]

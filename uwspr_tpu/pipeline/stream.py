@@ -86,8 +86,16 @@ class StreamDecoder:
         self.hashtable = hashtable if hashtable is not None else HashTable()
         if engine in ("device", "hybrid"):
             from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+            dcfg = self.config
+            import jax as _jax
+            if _jax.default_backend() == "tpu":
+                # bench-measured TPU serving point for fields left at
+                # config defaults (bf16 probe path; per-window decode, so
+                # no cross-window compaction). Explicit settings win.
+                from uwspr_tpu.config import with_serving_defaults
+                dcfg = with_serving_defaults(dcfg, 1)
             self._device = DeviceDecoder(
-                self.config,
+                dcfg,
                 fano_mode="host" if engine == "hybrid" else "device")
             self.decoder = None
         else:
@@ -206,7 +214,15 @@ class BatchedStreamDecoder:
         need = -(-(scfg.fl + (batch_windows - 1) * hop) // scfg.fl)
         self.windower = NativeWindower(n_channels, scfg.fl, hop,
                                        max(scfg.capacity_windows, need))
-        self._device = DeviceDecoder(self.config, fano_mode=fano_mode)
+        dcfg = self.config
+        import jax as _jax
+        if _jax.default_backend() == "tpu":
+            # bench-measured TPU serving point (bf16 probe path +
+            # cross-window compaction sized 2x the batch width) for
+            # fields left at config defaults; explicit settings win
+            from uwspr_tpu.config import with_serving_defaults
+            dcfg = with_serving_defaults(dcfg, batch_windows)
+        self._device = DeviceDecoder(dcfg, fano_mode=fano_mode)
         self.stats = StreamStats()
 
     def _decode_batch(self, ri: np.ndarray, chans: np.ndarray):

@@ -86,13 +86,23 @@ def main():
     # 10000-cycle budget is bounded even if every lane times out);
     # BENCH_FANO_IMPL=while A/Bs the lax.while_loop formulation.
     fano_impl = os.environ.get("BENCH_FANO_IMPL", "auto")
-    if lanes or fano_lanes or dtype != "f32" or fano_impl != "auto":
+    # Cross-window CANDIDATE compaction (DemodConfig.cand_compact_lanes):
+    # the coarse acceptance passes ~1 of the 13 static lanes per window
+    # at the headline scene, and phases A/B are ~linear in static lanes —
+    # refining only the accepted lanes gathered across the batch prices
+    # the dominant HBM-bound stages by the REAL candidate count.
+    # BENCH_CAND_LANES=0 reverts to the full W*C refine grid.
+    cand_lanes = int(os.environ.get("BENCH_CAND_LANES", str(2 * N_WINDOWS)))
+    if lanes or fano_lanes or cand_lanes or dtype != "f32" \
+            or fano_impl != "auto":
         from uwspr_tpu.config import DemodConfig, PipelineConfig
         decoder = DeviceDecoder(PipelineConfig(demod=DemodConfig(
             refine_max_lanes=lanes, probe_dtype=dtype,
-            fano_compact_lanes=fano_lanes, fano_impl=fano_impl)))
+            fano_compact_lanes=fano_lanes, fano_impl=fano_impl,
+            cand_compact_lanes=cand_lanes)))
         log(f"refine_max_lanes: {lanes} probe_dtype: {dtype} "
-            f"fano_compact_lanes: {fano_lanes} fano_impl: {fano_impl}")
+            f"fano_compact_lanes: {fano_lanes} fano_impl: {fano_impl} "
+            f"cand_compact_lanes: {cand_lanes}")
     else:
         decoder = DeviceDecoder()
     windows, expected = make_windows(N_WINDOWS)

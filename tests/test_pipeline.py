@@ -84,24 +84,29 @@ def test_with_serving_defaults():
     assert s.demod.probe_dtype == "bf16"
     assert s.demod.refine_max_lanes == 64
     assert s.demod.fano_compact_lanes == 64
+    assert s.demod.cand_compact_lanes == 128
     # per-window serving: no cross-window compaction
     s1 = with_serving_defaults(base, 1)
     assert s1.demod.probe_dtype == "bf16"
     assert s1.demod.refine_max_lanes == 0
     assert s1.demod.fano_compact_lanes == 0
+    assert s1.demod.cand_compact_lanes == 0
     # explicit settings win
     exp = PipelineConfig(demod=DemodConfig(probe_dtype="bf16",
                                            refine_max_lanes=512))
     s2 = with_serving_defaults(exp, 32)
     assert s2.demod.refine_max_lanes == 512
     assert s2.demod.fano_compact_lanes == 64
+    assert s2.demod.cand_compact_lanes == 128
     # wideband static lane count: compaction stays opt-in
     wb = PipelineConfig(coarse=CoarseConfig(halfbandwidth=187, maxfreqs=200))
     s3 = with_serving_defaults(wb, 32)
     assert s3.demod.probe_dtype == "bf16"
     assert s3.demod.refine_max_lanes == 0
     assert s3.demod.fano_compact_lanes == 0
+    assert s3.demod.cand_compact_lanes == 0
     # untouched config object comes back as-is when nothing applies
     full = PipelineConfig(demod=DemodConfig(
-        probe_dtype="bf16", refine_max_lanes=8, fano_compact_lanes=8))
+        probe_dtype="bf16", refine_max_lanes=8, fano_compact_lanes=8,
+        cand_compact_lanes=8))
     assert with_serving_defaults(full, 32) is full

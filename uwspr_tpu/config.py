@@ -222,6 +222,13 @@ def with_serving_defaults(config: PipelineConfig,
     scene-dependent, and a DEFAULT must not silently degrade dense
     scenes, so `refine_max_lanes`/`cand_compact_lanes` there stay
     opt-in (scripts/bench_matrix.py row_wideband shows the sizing).
+
+    The narrowband candidate cap is 4x the batch width: the coarse
+    acceptance passes ~1 valid lane/window at the serving scene and
+    ~2.1/window on a dense 3-signal narrowband scene (the +/-5 Hz
+    passband physically fits only a few frames), so 4x is >=2x headroom
+    over the densest measured population while still cutting the
+    HBM-bound phase-A/B refine lanes 3.25x vs the 13 static slots.
     """
     d, c = config.demod, config.coarse
     upd = {}
@@ -233,6 +240,8 @@ def with_serving_defaults(config: PipelineConfig,
             upd["refine_max_lanes"] = 2 * batch_windows
         if d.fano_compact_lanes == 0:
             upd["fano_compact_lanes"] = 2 * batch_windows
+        if d.cand_compact_lanes == 0:
+            upd["cand_compact_lanes"] = 4 * batch_windows
     if not upd:
         return config
     return dataclasses.replace(config,

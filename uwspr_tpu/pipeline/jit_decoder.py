@@ -642,7 +642,13 @@ class DeviceDecoder:
         returns the packed prefano (its consumer is _host_fano_assemble
         either way)."""
         dcfg = self.config.demod
-        if dcfg.cand_compact_lanes > 0 and not self.truncate_stage:
+        if dcfg.cand_compact_lanes > 0:
+            # truncate_stage flows THROUGH the compacted path (stage
+            # deltas then attribute the program at the serving operating
+            # point, compaction gathers included); the other compactions
+            # below keep the historical bypass (their truncated heads
+            # predate cand compaction and stay comparable to the
+            # round-2 tables).
             pre = self._compact_cand_pre(ris)
         elif dcfg.refine_max_lanes > 0 and not self.truncate_stage:
             head = jax.vmap(self._prefano_head_ri)(ris)
@@ -723,6 +729,8 @@ class DeviceDecoder:
         dcfg = self.config.demod
         z_all = jax.lax.complex(ris[:, 0], ris[:, 1]).astype(jnp.complex64)
         coarse = jax.vmap(self._coarse_stage)(z_all)          # (W, C) fields
+        if "_t" in coarse:                  # truncated profiling program
+            return {"_t": coarse["_t"].sum()}
         W, C = coarse["valid"].shape
         J = dcfg.n_jiggles
         ML = min(dcfg.cand_compact_lanes, W * C)
@@ -739,6 +747,8 @@ class DeviceDecoder:
             st, probe=lambda center, reach, Wp, block:
             make_shared_probe_lanes(z_all, widx, center, reach=reach,
                                     W=Wp, block=block, dtype=pdt))
+        if "_t" in head:                    # truncated profiling program
+            return head
 
         # post-worth tail on the compacted lanes (sub-compacted further if
         # refine_max_lanes is set and smaller)
@@ -751,6 +761,8 @@ class DeviceDecoder:
                          "slm_params", "sync1", "Amat2", "base2")}
         sub["worth0"] = worthy[sel2]
         tail = self._prefano_tail(sub)
+        if "_t" in tail:                    # truncated profiling program
+            return tail
         gsel = sel[sel2]              # global (W*C) indices of tail lanes
 
         def scat(base_flat, vals):

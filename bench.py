@@ -150,7 +150,7 @@ def main():
         if expected[w] in msgs:
             ok += 1
     log(f"{ok}/{N_WINDOWS} windows decoded correctly; "
-        f"{dt / N_WINDOWS * 1000:.0f} ms/window")
+        f"{dt / N_WINDOWS * 1000:.3f} ms/window")
 
     # roofline/MFU attribution (SURVEY §7.1.9): XLA's own cost analysis
     # on the compiled program vs the v5e peaks — is the remaining time

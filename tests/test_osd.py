@@ -125,9 +125,10 @@ def test_device_osd_matches_host_osd():
     for _ in range(8):
         soft, _ = _quantized_soft(rng, int(rng.integers(0, 12)))
         ref = osd_decode(soft, order=2)
-        u, q, nf = f(jnp.asarray(soft, jnp.float32))
+        u, q, m, nf = f(jnp.asarray(soft, jnp.float32))
         np.testing.assert_array_equal(np.asarray(u), ref.info_bits)
         assert abs(float(q) - ref.quality) < 1e-3
+        assert abs(float(m) - ref.margin) < 1e-3
         assert int(nf) == ref.flips
         pl = np.asarray(bits_to_payload(jnp.asarray(u)[None]))[0]
         assert bytes(pl) == bytes(bits_to_bytes(ref.info_bits)[:7])
@@ -152,12 +153,14 @@ def test_device_osd_quality_calibration():
         cw = encode_frame_bits(bits).astype(np.float64)
         soft = np.clip(np.round(128 + (2 * cw - 1) * 40
                                 + rng.normal(0, 25, 162)), 0, 255)
-        u, q, _ = f(jnp.asarray(soft, jnp.float32))
+        u, q, m, _ = f(jnp.asarray(soft, jnp.float32))
         assert np.array_equal(np.asarray(u), bits)
         assert float(q) > 0.85, float(q)
+        # confident rescues clear the margin screen on their own
+        assert float(m) > 0.02, float(m)
     for _ in range(6):                       # noise-only lanes
         soft = np.clip(np.round(128 + rng.normal(0, 30, 162)), 0, 255)
-        _, q, _ = f(jnp.asarray(soft, jnp.float32))
+        _, q, m, _ = f(jnp.asarray(soft, jnp.float32))
         assert 0.55 < float(q) < 0.8, float(q)
 
 
@@ -234,7 +237,8 @@ def test_device_osd_order3_matches_host():
     for _ in range(8):
         soft, _ = _quantized_soft(rng, int(rng.integers(0, 14)))
         ref = osd_decode(soft, order=3)
-        u, q, nf = f(jnp.asarray(soft, jnp.float32))
+        u, q, m, nf = f(jnp.asarray(soft, jnp.float32))
         np.testing.assert_array_equal(np.asarray(u), ref.info_bits)
         assert abs(float(q) - ref.quality) < 1e-3
+        assert abs(float(m) - ref.margin) < 1e-3
         assert int(nf) == ref.flips

@@ -104,11 +104,13 @@ class DemodConfig:
                                   # Fano (fec/osd.py): 0 = off (reference
                                   # behavior), 2..6 = flip-search order.
                                   # Depth 4 lifts the deep-SNR tail (-29:
-                                  # 92->100%, -30: 44->76% measured) but
-                                  # below ~-30 dB the ML codeword can be a
-                                  # wrong message: OSD spots are tagged
-                                  # (Spot.osd) and should be cross-checked
-                                  # against known callsigns by consumers.
+                                  # 92->100%, -30: 44->76% measured).
+                                  # Acceptance is gated by cross-jiggle
+                                  # payload agreement OR the list-decoding
+                                  # margin (osd_min_margin), calibrated so
+                                  # wrong-message emission is rare
+                                  # (OSD_CALIB.json, SWEEP_OSD_*_r04);
+                                  # spots stay tagged (Spot.osd).
     osd_max_lanes: int = 32       # device/mesh engines: Fano-failed worth
                                   # lanes compacted to this many on-device
                                   # order-<=3 OSD lanes per batch
@@ -118,17 +120,30 @@ class DemodConfig:
                                   # count into fano_overflow. Host/hybrid
                                   # engines have no lane cap (and honor
                                   # osd_depth > 2).
-    osd_min_quality: float = 0.6  # device-OSD coarse screen: the
-                                  # reliability correlation of the winning
-                                  # codeword. Calibrated in tests/test_osd
-                                  # .py: noise lanes score ~0.65-0.72,
-                                  # marginal true rescues ~0.69+, confident
-                                  # ones >0.9 — so 0.6 only rejects
-                                  # degenerate lanes. The authoritative
-                                  # screen is protocol unpacking at host
-                                  # egress (spots()/messages() drop
-                                  # osd-tagged payloads that fail to
-                                  # unpack, like the host engines).
+    osd_min_quality: float = 0.6  # OSD coarse screen: the reliability
+                                  # correlation of the winning codeword.
+                                  # Calibrated in tests/test_osd.py: noise
+                                  # lanes score ~0.65-0.72, marginal true
+                                  # rescues ~0.69+, confident ones >0.9 —
+                                  # so 0.6 only rejects degenerate lanes;
+                                  # the discriminating screens are
+                                  # osd_min_margin / cross-jiggle
+                                  # agreement below, plus protocol
+                                  # unpacking at host egress.
+    osd_min_margin: float = 0.02  # OSD list-decoding margin screen:
+                                  # accept an OSD codeword only if TWO
+                                  # independently demodulated jiggle lanes
+                                  # of the candidate decode to the same
+                                  # payload (cross-jiggle agreement), OR
+                                  # its margin — (2nd-best - best)
+                                  # candidate score / total reliability —
+                                  # is >= this. Calibrated on -29..-32 dB
+                                  # failed lanes (scripts/osd_calibrate
+                                  # .py, OSD_CALIB.json): wrong decodes
+                                  # never agreed (0/31) and their margins
+                                  # were <= 0.0175; rule keeps 12/13
+                                  # correct rescues. Applies to all
+                                  # engines (host, hybrid, device).
     refine_max_lanes: int = 0     # batched device decoder: compact the
                                   # post-worth refine stages (joint fine
                                   # grid + soft symbols) to this many worth

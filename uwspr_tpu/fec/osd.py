@@ -23,9 +23,21 @@ described at :func:`osd_decode`; noise-only lanes score ~0.65-0.72 at
 order 2 (the flip search optimizes the correlation, so even noise looks
 correlated), marginal true rescues start ~0.69 and confident ones exceed
 0.9 (calibrated in tests/test_osd.py) — quality alone cannot separate
-the boundary region, so the authoritative screen everywhere is protocol
-unpacking of the 50-bit payload (plus known-callsign screening by
-consumers, as SWEEP_OSD artifacts quantify).
+the boundary region. The discriminating screens (:func:`accept_osd`,
+calibrated in scripts/osd_calibrate.py -> OSD_CALIB.json on -29..-32 dB
+Fano-failed lanes) are:
+
+- ``OsdResult.margin`` — the LIST-DECODING margin, (2nd-best candidate
+  score - best) / total reliability. Wrong decodes sit in a flat
+  landscape (measured max 0.0175); true rescues usually separate.
+- CROSS-JIGGLE AGREEMENT — decode the candidate's two best gated jiggle
+  lanes independently; wrong codewords fit one noisy demodulation but
+  not two (0/31 wrong decodes agreed vs 11/13 correct).
+
+accept = quality >= osd_min_quality AND (agreement OR margin >=
+osd_min_margin), then protocol unpacking of the 50-bit payload at
+egress. SWEEP_OSD_*_r04 artifacts quantify the resulting false-valid
+rates.
 """
 
 from __future__ import annotations
@@ -102,6 +114,10 @@ class OsdResult:
     codeword: np.ndarray      # (162,) uint8
     quality: float            # acceptance margin, see osd_decode
     flips: int                # how many basis-bit flips the winner used
+    margin: float = 0.0       # (2nd-best candidate score - best score) /
+                              # total reliability: the list-decoding gap.
+                              # Near 0 on noise (the candidate landscape
+                              # is flat); large when one codeword fits.
 
 
 def osd_decode(soft: np.ndarray, order: int = 2) -> OsdResult:
@@ -139,16 +155,29 @@ def osd_decode(soft: np.ndarray, order: int = 2) -> OsdResult:
 
     best_score = score0
     best_flips: tuple = ()
+    # top-2 candidate scores across the whole search, for the
+    # list-decoding margin (candidate codewords are all distinct: flip
+    # vectors map injectively through the invertible Ainv)
+    runner_up = [score0]
+
+    def _track(vals: np.ndarray) -> None:
+        k = min(2, len(vals))
+        runner_up.extend(np.partition(vals, k - 1)[:k].tolist())
+
     if order >= 1:
-        p = int(np.argmin(w))
-        if score0 + w[p] < best_score:
-            best_score = score0 + float(w[p])
+        vals1 = score0 + w
+        _track(vals1)
+        p = int(np.argmin(vals1))
+        if vals1[p] < best_score:
+            best_score = float(vals1[p])
             best_flips = (p,)
     if order >= 2:
         M = (D * s[:, None]).T @ D        # (50, 50): M[p,q] = sum D_p D_q s
         pair = score0 + w[:, None] + w[None, :] - 2.0 * M
         iu = np.triu_indices(50, k=1)
-        pi = int(np.argmin(pair[iu]))
+        vals2 = pair[iu]
+        _track(vals2)
+        pi = int(np.argmin(vals2))
         p, q = iu[0][pi], iu[1][pi]
         if pair[p, q] < best_score:
             best_score = float(pair[p, q])
@@ -161,20 +190,17 @@ def osd_decode(soft: np.ndarray, order: int = 2) -> OsdResult:
         sE = E * s[:, None].astype(np.float32)
         q3 = np.einsum("ip,iq,ir->pqr", E, E, sE, optimize=True)
         T_s = float(s.sum())
-        best_q = -np.inf
-        tri = None
-        for p in range(48):
-            sub = q3[p, p + 1:, p + 1:]
-            iu2 = np.triu_indices(sub.shape[0], k=1)
-            vals = sub[iu2]
-            k = int(np.argmax(vals))
-            if vals[k] > best_q:
-                best_q = float(vals[k])
-                tri = (p, p + 1 + int(iu2[0][k]), p + 1 + int(iu2[1][k]))
-        s3 = score0 + (T_s - best_q) / 2.0
-        if tri is not None and s3 < best_score:
-            best_score = s3
-            best_flips = tri
+        kk = np.arange(50)
+        strict = ((kk[:, None, None] < kk[None, :, None])
+                  & (kk[None, :, None] < kk[None, None, :]))
+        vals = q3[strict]                 # lexicographic (p, q, r) order
+        scores3 = score0 + (T_s - vals) / 2.0
+        _track(scores3)
+        k = int(np.argmax(vals))          # first max = min score
+        if scores3[k] < best_score:
+            best_score = float(scores3[k])
+            tp, tq, tr = np.nonzero(strict)
+            best_flips = (int(tp[k]), int(tq[k]), int(tr[k]))
     if order >= 4:
         from itertools import combinations
         sf = s.astype(np.float32)
@@ -189,6 +215,7 @@ def osd_decode(soft: np.ndarray, order: int = 2) -> OsdResult:
                 for col in range(1, wgt):
                     d = d ^ Du[:, blk[:, col]]
                 scores = score0 + sf @ d.astype(np.float32)
+                _track(scores)
                 k = int(np.argmin(scores))
                 if scores[k] < best_score:
                     best_score = float(scores[k])
@@ -201,8 +228,46 @@ def osd_decode(soft: np.ndarray, order: int = 2) -> OsdResult:
         c ^= D[:, p].astype(np.uint8)
     total = float(r.sum()) or 1.0
     quality = (total - 2.0 * best_score) / total
+    second = np.partition(np.asarray(runner_up), 1)[1]
+    margin = float(second - best_score) / total
     return OsdResult(info_bits=u.astype(np.uint8), codeword=c,
-                     quality=quality, flips=len(best_flips))
+                     quality=quality, flips=len(best_flips),
+                     margin=margin)
 
 
-__all__ = ["osd_decode", "OsdResult", "generator_matrix"]
+def accept_osd(deint_lanes: np.ndarray, gate: np.ndarray,
+               sync2: np.ndarray, dcfg) -> tuple[int, bytes | None]:
+    """The calibrated OSD acceptance rule, shared by the host and hybrid
+    engines (the device engine implements the same rule in
+    pipeline/jit_decoder._osd_rescue).
+
+    deint_lanes (J, 162): the candidate's deinterleaved soft symbols per
+    jiggle lane; gate/sync2 (J,). Decodes the best-synced gated lane;
+    accepts iff quality >= dcfg.osd_min_quality AND (an OSD decode of the
+    2nd-best gated lane yields the SAME payload, OR the best lane's
+    list-decoding margin >= dcfg.osd_min_margin). Calibrated on
+    -29..-32 dB Fano-failed lanes (scripts/osd_calibrate.py,
+    OSD_CALIB.json): wrong decodes never agreed cross-jiggle (0/31) and
+    had margin <= 0.0175, while the rule kept 12/13 correct rescues.
+
+    Returns (jiggle_index, payload bytes) or (jiggle_index, None)."""
+    from uwspr_tpu.protocol.fec_encode import bits_to_bytes
+
+    order = dcfg.osd_depth
+    skey = np.where(gate, sync2, -np.inf)
+    j = int(np.argmax(skey))
+    r = osd_decode(deint_lanes[j], order=order)
+    if r.quality < dcfg.osd_min_quality:
+        return j, None
+    accept = r.margin >= dcfg.osd_min_margin
+    if not accept and gate.sum() >= 2:
+        skey[j] = -np.inf
+        j2 = int(np.argmax(skey))
+        r2 = osd_decode(deint_lanes[j2], order=order)
+        accept = bool(np.array_equal(r2.info_bits, r.info_bits))
+    if not accept:
+        return j, None
+    return j, bytes(bits_to_bytes(r.info_bits)[:7])
+
+
+__all__ = ["osd_decode", "OsdResult", "accept_osd", "generator_matrix"]

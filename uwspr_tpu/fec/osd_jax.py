@@ -23,9 +23,18 @@ Structure (everything fixed-shape, vmappable over failed lanes):
   sequential 19,600-candidate walk.
 
 GF(2) products use int32 matmuls (exact: inner dim <= 162) masked with
-& 1. Acceptance is by the reliability-correlation quality margin (the
-host path additionally screens via protocol unpacking; device callers
-apply the same screen when spots are unpacked on the host).
+& 1.
+
+Acceptance (calibrated in scripts/osd_calibrate.py / OSD_CALIB.json):
+the decoder also returns the LIST-DECODING MARGIN — (2nd-best candidate
+score - best score) / total reliability. On wrong decodes the candidate
+landscape is flat (measured max wrong-decode margin 0.017 at -30..-32 dB)
+while true rescues usually separate; callers combine
+``margin >= DemodConfig.osd_min_margin`` with cross-jiggle payload
+agreement (two independently demodulated lanes of the same candidate
+decoding to the SAME payload — 0/31 wrong decodes agreed in calibration
+vs 11/13 correct). The host engines apply the same rule plus the
+protocol-unpack screen, which still re-screens device spots at egress.
 """
 
 from __future__ import annotations
@@ -78,8 +87,9 @@ def _gf2_inv(A: jnp.ndarray) -> jnp.ndarray:
 def osd2_decode_jax(soft: jnp.ndarray, G: np.ndarray, order: int = 2):
     """One lane: soft (162,) float32 in the Fano convention (>=128 means
     coded bit 1, |x-128| is the reliability) -> (info_bits (50,) int32,
-    quality float32, flips int32). Same candidate set and strict-<
-    preference order as the host fec/osd.osd_decode at order <= 2."""
+    quality float32, margin float32, flips int32). Same candidate set and
+    strict-< preference order as the host fec/osd.osd_decode at
+    order <= 2; margin matches OsdResult.margin."""
     assert order in (1, 2, 3)
     Gj = jnp.asarray(G, jnp.int32)
     y = soft - 128.0
@@ -107,6 +117,10 @@ def osd2_decode_jax(soft: jnp.ndarray, G: np.ndarray, order: int = 2):
     s_best = jnp.where(take1, score0 + w[p1], s_best)
     flips = jnp.where(take1, flips.at[p1].add(1), flips)
     n_flips = jnp.where(take1, 1, n_flips)
+    # per-stage two smallest candidate scores, for the list-decoding
+    # margin (all candidates are distinct codewords: flip vectors map
+    # injectively through the invertible Ainv)
+    top2 = [score0[None], -jax.lax.top_k(-(score0 + w), 2)[0]]
 
     if order >= 2:
         M2 = (Df * s[:, None]).T @ Df         # (K, K)
@@ -115,6 +129,7 @@ def osd2_decode_jax(soft: jnp.ndarray, G: np.ndarray, order: int = 2):
                          pair, jnp.inf)
         flat = jnp.argmin(pair)
         p2, q2 = flat // K, flat % K
+        top2.append(-jax.lax.top_k(-pair.reshape(-1), 2)[0])
         take2 = pair[p2, q2] < s_best
         s_best = jnp.where(take2, pair[p2, q2], s_best)
         pairvec = jnp.zeros(K, jnp.int32).at[p2].add(1).at[q2].add(1)
@@ -138,6 +153,7 @@ def osd2_decode_jax(soft: jnp.ndarray, G: np.ndarray, order: int = 2):
         p3 = flat3 // (K * K)                 # matching the host's
         q3 = (flat3 // K) % K                 # combinations() walk
         r3 = flat3 % K
+        top2.append(-jax.lax.top_k(-trip.reshape(-1), 2)[0])
         take3 = trip[p3, q3, r3] < s_best
         s_best = jnp.where(take3, trip[p3, q3, r3], s_best)
         tripvec = (jnp.zeros(K, jnp.int32)
@@ -148,7 +164,9 @@ def osd2_decode_jax(soft: jnp.ndarray, G: np.ndarray, order: int = 2):
     u = (u0 + Ainv @ flips) & 1
     total = jnp.maximum(jnp.sum(r), 1e-9)
     quality = (total - 2.0 * s_best) / total
-    return u, quality, n_flips
+    two = -jax.lax.top_k(-jnp.concatenate(top2), 2)[0]
+    margin = (two[1] - two[0]) / total
+    return u, quality, margin, n_flips
 
 
 def bits_to_payload(u: jnp.ndarray) -> jnp.ndarray:

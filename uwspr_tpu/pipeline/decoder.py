@@ -147,19 +147,20 @@ class WindowDecoder:
 
 
     def _osd_fallback(self, c, cands, ref, flat_syms, gate, sync2):
-        """Ordered-statistics decode of candidate c's best gated lane —
-        the deep-SNR fallback when every Fano retry failed (fec/osd.py).
-        Accepts only payloads that survive protocol unpacking; the spot
-        is tagged with the OSD order (Spot.osd)."""
+        """Ordered-statistics decode of candidate c's two best gated
+        lanes — the deep-SNR fallback when every Fano retry failed.
+        Acceptance = the calibrated cross-jiggle-agreement / margin rule
+        (fec/osd.accept_osd) + protocol unpacking; the spot is tagged
+        with the OSD order (Spot.osd)."""
         if not gate[c].any():
             return None
-        from uwspr_tpu.fec.osd import osd_decode
-        from uwspr_tpu.protocol.fec_encode import bits_to_bytes
+        from uwspr_tpu.fec.osd import accept_osd
         cfg = self.config
         J = gate.shape[1]
-        j = int(np.argmax(np.where(gate[c], sync2[c], -np.inf)))
-        res = osd_decode(flat_syms[c * J + j], order=cfg.demod.osd_depth)
-        payload = bytes(bits_to_bytes(res.info_bits)[:7])
+        j, payload = accept_osd(flat_syms[c * J:(c + 1) * J], gate[c],
+                                sync2[c], cfg.demod)
+        if payload is None:
+            return None
         unpacked = unpack_message(payload, self.hashtable)
         if unpacked is None:
             return None

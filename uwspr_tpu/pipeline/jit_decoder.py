@@ -942,14 +942,18 @@ class DeviceDecoder:
                     jbest: jnp.ndarray):
         """On-device OSD fallback (fec/osd_jax.py): worth candidates whose
         gated Fano lanes ALL failed get an order-<=3 ordered-statistics
-        decode of their most-synced gated jiggle lane. Failed lanes across
-        the whole batch are compacted to DemodConfig.osd_max_lanes (the
-        deep-SNR tail is sparse); lanes beyond the cap degrade gracefully
-        (no rescue) and surface in the returned dropped mask. Acceptance
-        is the reliability-correlation margin >= DemodConfig
-        .osd_min_quality — the host engines screen by protocol unpacking
-        instead (jit programs cannot), and unpacking still re-screens
-        device-OSD spots on the host at egress.
+        decode of their TWO most-synced gated jiggle lanes. Failed lanes
+        across the whole batch are compacted to DemodConfig.osd_max_lanes
+        (the deep-SNR tail is sparse); lanes beyond the cap degrade
+        gracefully (no rescue) and surface in the returned dropped mask.
+
+        Acceptance (calibrated, OSD_CALIB.json): quality >=
+        osd_min_quality AND (the two lanes' payloads AGREE, or the best
+        lane's list-decoding margin >= osd_min_margin) — wrong codewords
+        fit one noisy demodulation but not two independently jiggled
+        ones (0/31 wrong decodes agreed in calibration), and their
+        candidate landscape is flat (margin <= 0.0175 measured).
+        Protocol unpacking still re-screens device-OSD spots at egress.
 
         Shapes: pre fields (..., C[, J]); returns (any_success, payload,
         jbest, osd, dropped) with the same leading shape."""
@@ -966,18 +970,29 @@ class DeviceDecoder:
         gate_f = gate.reshape(L, J)
         fail = (worth.reshape(L) & gate_f.any(-1)
                 & ~any_success.reshape(L))                      # (L,)
-        jsel = jnp.argmax(jnp.where(gate_f, sync2.reshape(L, J),
-                                    -jnp.inf), axis=-1)         # (L,)
+        skey = jnp.where(gate_f, sync2.reshape(L, J), -jnp.inf)
+        jsel = jnp.argmax(skey, axis=-1)                        # (L,)
+        skey2 = skey.at[jnp.arange(L), jsel].set(-jnp.inf)
+        jsel2 = jnp.argmax(skey2, axis=-1)      # 2nd-best gated lane
+        has2 = gate_f.sum(axis=-1) >= 2
+        deint_f = deint.reshape(L, J, 162)
         soft = jnp.take_along_axis(
-            deint.reshape(L, J, 162), jsel[:, None, None], axis=1)[:, 0]
+            deint_f, jsel[:, None, None], axis=1)[:, 0]
+        soft2 = jnp.take_along_axis(
+            deint_f, jsel2[:, None, None], axis=1)[:, 0]
 
         ML = min(dcfg.osd_max_lanes, L)
         order = min(dcfg.osd_depth, 3)
         sel = jnp.argsort(~fail, stable=True)[:ML]
-        lanes = soft[sel].astype(jnp.float32)
-        u, q, _ = jax.vmap(
+        lanes = jnp.concatenate(
+            [soft[sel], soft2[sel]]).astype(jnp.float32)        # (2ML, 162)
+        uu, qq, mm, _ = jax.vmap(
             lambda s: osd2_decode_jax(s, self._osd_G, order))(lanes)
-        ok = fail[sel] & (q >= dcfg.osd_min_quality)
+        u, u2 = uu[:ML], uu[ML:]
+        q, m = qq[:ML], mm[:ML]
+        agree = jnp.all(u == u2, axis=-1) & has2[sel]
+        ok = (fail[sel] & (q >= dcfg.osd_min_quality)
+              & (agree | (m >= dcfg.osd_min_margin)))
         pl = bits_to_payload(u)                                 # (ML, 7)
 
         pay_f = payload.reshape(L, payload.shape[-1])
@@ -1051,19 +1066,18 @@ class DeviceDecoder:
         payload = data[wi, ci, jbest, :7]
 
         # OSD fallback (deep-SNR): candidates whose gated lanes all failed
-        # Fano get an ordered-statistics decode of their best gated lane
+        # Fano get an ordered-statistics decode of their two best gated
+        # lanes; acceptance = cross-jiggle agreement OR list-decoding
+        # margin (calibrated, fec/osd.py module doc) + unpack screen
         osd = np.zeros((W, C), np.int32)
         if dcfg.osd_depth > 0:
-            from uwspr_tpu.fec.osd import osd_decode
-            from uwspr_tpu.protocol.fec_encode import bits_to_bytes
+            from uwspr_tpu.fec.osd import accept_osd
             from uwspr_tpu.protocol.messages import unpack_message
             for w, c in zip(*np.nonzero(worth & ~any_s & gate.any(axis=-1))):
-                j = int(np.argmax(np.where(gate[w, c], sync2[w, c],
-                                           -np.inf)))
-                r = osd_decode(deint[w, c, j], order=dcfg.osd_depth)
-                pl = bytes(bits_to_bytes(r.info_bits)[:7])
-                if unpack_message(pl) is None:
-                    continue          # reject payloads that don't unpack
+                j, pl = accept_osd(deint[w, c], gate[w, c], sync2[w, c],
+                                   dcfg)
+                if pl is None or unpack_message(pl) is None:
+                    continue
                 any_s[w, c] = True
                 payload[w, c] = np.frombuffer(pl, np.uint8)
                 jbest[w, c] = j

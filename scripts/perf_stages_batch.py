@@ -117,10 +117,18 @@ def main():
           "fano_lanes =", fano_lanes, "wideband =", WIDEBAND, flush=True)
     ri = make_batch()
     prev = 0.0
-    # UWSPR_ONLY_FULL=1: measure just the end-to-end row (A/B runs)
-    stages = ([None] if os.environ.get("UWSPR_ONLY_FULL") == "1" else
-              ["post_peaks", "post_coarse", "post_phase_a", "post_head",
-               "post_refine", "pre_fano", None])
+    # UWSPR_ONLY_FULL=1: measure just the end-to-end row (A/B runs).
+    # UWSPR_STAGES=a,b,... : run only the named stages ("full" = None) —
+    # lets a wrapper run one stage per process so a TPU-worker crash on
+    # one stage doesn't kill the ladder (stage deltas then come from the
+    # printed cumulative times).
+    stages = ["post_peaks", "post_coarse", "post_phase_a", "post_head",
+              "post_refine", "pre_fano", None]
+    if os.environ.get("UWSPR_ONLY_FULL") == "1":
+        stages = [None]
+    elif os.environ.get("UWSPR_STAGES"):
+        stages = [None if s == "full" else s
+                  for s in os.environ["UWSPR_STAGES"].split(",")]
     from uwspr_tpu.utils.roofline import analyze, cost_of
     prev_cost = (0.0, 0.0)
     for stage in stages:

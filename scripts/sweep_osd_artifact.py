@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Deep-SNR decode-rate artifact with the OSD fallback -> SWEEP_OSD_r02.json.
+"""Deep-SNR decode-rate artifact with the OSD fallback -> SWEEP_OSD_r04.json.
 
 Reports, per SNR point: the Fano-only decode rate (the reference's
 algorithm), the rate with the osd_depth=4 fallback, and the FALSE-valid
@@ -74,14 +74,18 @@ def main():
         "osd_depth": DEPTH,
         "snr_convention": "2500 Hz reference bandwidth",
         "randomized": "freq offset +/-5 Hz, start 0..2 s per trial",
+        "acceptance": ("quality >= 0.6 AND (cross-jiggle payload "
+                       "agreement OR list-decoding margin >= 0.02) "
+                       "(r4 calibrated rule, fec/osd.accept_osd + "
+                       "OSD_CALIB.json) + protocol unpack"),
         "note": ("fano_rate = the reference's sequential decoder alone; "
                  "osd_rate adds the order-4 ordered-statistics fallback "
-                 "(fec/osd.py). false_valid_rate: wrong OSD message "
-                 "surviving protocol unpacking (tagged Spot.osd; screen "
-                 "against known callsigns below -30 dB)."),
+                 "(fec/osd.py) under the calibrated acceptance rule. "
+                 "false_valid_rate: wrong OSD message surviving every "
+                 "screen (tagged Spot.osd)."),
         "results": rows,
     }
-    path = pathlib.Path(__file__).resolve().parents[1] / "SWEEP_OSD_r02.json"
+    path = pathlib.Path(__file__).resolve().parents[1] / "SWEEP_OSD_r04.json"
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {path}")
 

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Deep-SNR decode/false-valid rates for the ALL-DEVICE engine
--> SWEEP_OSD_DEVICE_r03.json (judge r2 item 5).
+-> SWEEP_OSD_DEVICE_r04.json (judge r2 item 5).
 
 The host-path artifact (SWEEP_OSD_r02.json) quantified the order-4 host
 OSD; this one measures the serving path users actually get on TPU: the
@@ -98,17 +98,18 @@ def main():
         "seeds": f"31000..{31000 + TRIALS - 1} (same as SWEEP_OSD host "
                  "artifact for comparability)",
         "osd_depth": DEPTH,
-        "osd_min_quality": 0.6,
+        "acceptance": ("quality >= 0.6 AND (cross-jiggle payload "
+                       "agreement OR list-decoding margin >= 0.02) "
+                       "(r4 calibrated rule, fec/osd_jax.py + "
+                       "OSD_CALIB.json) + host-egress protocol unpack"),
         "snr_convention": "2500 Hz reference bandwidth",
         "note": ("false_valid_rate counts OSD-tagged wrong messages that "
-                 "survive the host-egress protocol-unpack screen — the "
-                 "device path's residual risk. Spots are tagged Spot.osd; "
-                 "consumers below -30 dB should screen against known "
-                 "callsigns, as with the host path."),
+                 "survive every screen — the residual risk consumers "
+                 "see. Spots remain tagged Spot.osd."),
         "results": rows,
     }
     path = (pathlib.Path(__file__).resolve().parents[1]
-            / "SWEEP_OSD_DEVICE_r03.json")
+            / "SWEEP_OSD_DEVICE_r04.json")
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {path}")
 

@@ -561,6 +561,36 @@ def _cmd_grc(args):
         ht.save(args.hashtable)
 
 
+def _cmd_warmup(args):
+    """Populate the persistent XLA compile cache for the serving
+    programs, so cold `serve`/`bench` starts skip the multi-minute
+    first compile (the TPU-native analogue of pre-generating FFTW
+    wisdom, lib/FDR_impl.cc:142-150). One warmup per (batch width,
+    engine, band) tuple; re-runs are no-ops (cache hits)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uwspr_tpu.config import (CoarseConfig, PipelineConfig,
+                                  with_serving_defaults)
+    from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+
+    widths = [int(w) for w in args.batch.split(",")]
+    print(f"backend: {jax.default_backend()}; persistent cache active")
+    for w in widths:
+        coarse = (CoarseConfig(halfbandwidth=187, maxfreqs=200)
+                  if args.wideband else CoarseConfig())
+        cfg = with_serving_defaults(PipelineConfig(coarse=coarse), w)
+        for engine in args.engines.split(","):
+            dec = DeviceDecoder(
+                cfg, fano_mode="host" if engine == "hybrid" else "device")
+            ri = jnp.zeros((w, 2, cfg.stream.fl), jnp.float32)
+            t0 = time.time()
+            np.asarray(dec.decode_windows_ri(ri))
+            print(f"  W={w} engine={engine} "
+                  f"{'wideband' if args.wideband else 'narrowband'}: "
+                  f"compiled+ran in {time.time() - t0:.1f}s")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="uwspr",
                                 description="TPU-native WSPR decoder")
@@ -691,6 +721,20 @@ def main(argv=None):
     v.add_argument("--spots", default=None)
     v.add_argument("--allwspr", default=None)
     v.set_defaults(fn=_cmd_serve)
+
+    wu = sub.add_parser("warmup", help="pre-compile the serving programs "
+                                       "into the persistent cache (one-"
+                                       "time; cuts cold serve/bench "
+                                       "start by minutes)")
+    wu.add_argument("--batch", default="128",
+                    help="comma-separated window-batch widths (default "
+                         "128, the serving batch)")
+    wu.add_argument("--engines", default="device,hybrid",
+                    help="comma-separated engines to warm")
+    wu.add_argument("--wideband", action="store_true",
+                    help="warm the halfbandwidth=187 wideband config "
+                         "instead of narrowband")
+    wu.set_defaults(fn=_cmd_warmup)
 
     g = sub.add_parser("grc", help="run a GNU Radio Companion flowgraph "
                                    "(the reference's .grc files)")

@@ -131,19 +131,32 @@ class DemodConfig:
                                   # agreement below, plus protocol
                                   # unpacking at host egress.
     osd_min_margin: float = 0.02  # OSD list-decoding margin screen:
-                                  # accept an OSD codeword only if TWO
-                                  # independently demodulated jiggle lanes
-                                  # of the candidate decode to the same
-                                  # payload (cross-jiggle agreement), OR
-                                  # its margin — (2nd-best - best)
-                                  # candidate score / total reliability —
-                                  # is >= this. Calibrated on -29..-32 dB
-                                  # failed lanes (scripts/osd_calibrate
-                                  # .py, OSD_CALIB.json): wrong decodes
-                                  # never agreed (0/31) and their margins
-                                  # were <= 0.0175; rule keeps 12/13
-                                  # correct rescues. Applies to all
-                                  # engines (host, hybrid, device).
+                                  # accept an OSD codeword only if its
+                                  # margin — (2nd-best - best) candidate
+                                  # score / total reliability — is >=
+                                  # this, OR two independently
+                                  # demodulated jiggle lanes decode to
+                                  # the same payload (cross-jiggle
+                                  # agreement) AND margin >=
+                                  # osd_margin_agree. Calibrated on
+                                  # -29..-32 dB failed lanes (scripts/
+                                  # osd_calibrate.py, OSD_CALIB*.json):
+                                  # order-3 wrong decodes never agreed
+                                  # (0/31) and had margin <= 0.0175.
+                                  # Applies to all engines.
+    osd_margin_agree: float = 0.008  # margin floor on the agreement
+                                  # path: the flip search can fit the
+                                  # SAME wrong codeword to two
+                                  # correlated noisy lanes, but only
+                                  # where the candidate landscape is
+                                  # flat — across 75 calibration+
+                                  # validation trials/SNR the wrong
+                                  # agreements' margins were 0.0001-
+                                  # 0.0105 (median 0.004), while the
+                                  # floor keeps 17/20 correct rescues
+                                  # at -30 dB (85% of the OSD gain)
+                                  # with zero accepted wrongs at
+                                  # -29..-31 (OSD_CALIB*.json).
     refine_max_lanes: int = 0     # batched device decoder: compact the
                                   # post-worth refine stages (joint fine
                                   # grid + soft symbols) to this many worth

@@ -34,10 +34,13 @@ Fano-failed lanes) are:
   lanes independently; wrong codewords fit one noisy demodulation but
   not two (0/31 wrong decodes agreed vs 11/13 correct).
 
-accept = quality >= osd_min_quality AND (agreement OR margin >=
-osd_min_margin), then protocol unpacking of the 50-bit payload at
-egress. SWEEP_OSD_*_r04 artifacts quantify the resulting false-valid
-rates.
+accept = quality >= osd_min_quality AND (margin >= osd_min_margin OR
+(agreement AND margin >= osd_margin_agree)), then protocol unpacking of
+the 50-bit payload at egress. The agreement-path margin floor exists
+because deeper searches (order 4+) can replicate the SAME wrong
+codeword on two correlated lanes, but only where the landscape is flat
+(measured margin <= 0.0105 on such events). SWEEP_OSD_*_r04 artifacts
+quantify the resulting false-valid rates.
 """
 
 from __future__ import annotations
@@ -243,12 +246,14 @@ def accept_osd(deint_lanes: np.ndarray, gate: np.ndarray,
 
     deint_lanes (J, 162): the candidate's deinterleaved soft symbols per
     jiggle lane; gate/sync2 (J,). Decodes the best-synced gated lane;
-    accepts iff quality >= dcfg.osd_min_quality AND (an OSD decode of the
-    2nd-best gated lane yields the SAME payload, OR the best lane's
-    list-decoding margin >= dcfg.osd_min_margin). Calibrated on
-    -29..-32 dB Fano-failed lanes (scripts/osd_calibrate.py,
-    OSD_CALIB.json): wrong decodes never agreed cross-jiggle (0/31) and
-    had margin <= 0.0175, while the rule kept 12/13 correct rescues.
+    accepts iff quality >= dcfg.osd_min_quality AND (the best lane's
+    list-decoding margin >= dcfg.osd_min_margin, OR an OSD decode of the
+    2nd-best gated lane yields the SAME payload AND margin >=
+    dcfg.osd_margin_agree). Calibrated on -29..-32 dB Fano-failed lanes
+    (scripts/osd_calibrate.py, OSD_CALIB*.json): order-3 wrong decodes
+    never agreed cross-jiggle (0/31) and had margin <= 0.0175; order-4
+    wrong decodes agreed only in flat landscapes (margin <= 0.0105),
+    which the agreement-path margin floor rejects.
 
     Returns (jiggle_index, payload bytes) or (jiggle_index, None)."""
     from uwspr_tpu.protocol.fec_encode import bits_to_bytes
@@ -260,7 +265,8 @@ def accept_osd(deint_lanes: np.ndarray, gate: np.ndarray,
     if r.quality < dcfg.osd_min_quality:
         return j, None
     accept = r.margin >= dcfg.osd_min_margin
-    if not accept and gate.sum() >= 2:
+    if (not accept and r.margin >= dcfg.osd_margin_agree
+            and gate.sum() >= 2):
         skey[j] = -np.inf
         j2 = int(np.argmax(skey))
         r2 = osd_decode(deint_lanes[j2], order=order)

@@ -947,12 +947,13 @@ class DeviceDecoder:
         (the deep-SNR tail is sparse); lanes beyond the cap degrade
         gracefully (no rescue) and surface in the returned dropped mask.
 
-        Acceptance (calibrated, OSD_CALIB.json): quality >=
-        osd_min_quality AND (the two lanes' payloads AGREE, or the best
-        lane's list-decoding margin >= osd_min_margin) — wrong codewords
+        Acceptance (calibrated, OSD_CALIB*.json): quality >=
+        osd_min_quality AND (margin >= osd_min_margin, OR the two lanes'
+        payloads AGREE and margin >= osd_margin_agree) — wrong codewords
         fit one noisy demodulation but not two independently jiggled
-        ones (0/31 wrong decodes agreed in calibration), and their
-        candidate landscape is flat (margin <= 0.0175 measured).
+        ones (0/31 order-3 wrong decodes agreed in calibration), and
+        when deeper searches do replicate a wrong codeword across
+        correlated lanes the landscape is flat (margin <= 0.0105).
         Protocol unpacking still re-screens device-OSD spots at egress.
 
         Shapes: pre fields (..., C[, J]); returns (any_success, payload,
@@ -992,7 +993,8 @@ class DeviceDecoder:
         q, m = qq[:ML], mm[:ML]
         agree = jnp.all(u == u2, axis=-1) & has2[sel]
         ok = (fail[sel] & (q >= dcfg.osd_min_quality)
-              & (agree | (m >= dcfg.osd_min_margin)))
+              & ((m >= dcfg.osd_min_margin)
+                 | (agree & (m >= dcfg.osd_margin_agree))))
         pl = bits_to_payload(u)                                 # (ML, 7)
 
         pay_f = payload.reshape(L, payload.shape[-1])

@@ -251,12 +251,19 @@ def with_serving_defaults(config: PipelineConfig,
     scenes, so `refine_max_lanes`/`cand_compact_lanes` there stay
     opt-in (scripts/bench_matrix.py row_wideband shows the sizing).
 
-    The narrowband candidate cap is 4x the batch width: the coarse
-    acceptance passes ~1 valid lane/window at the serving scene and
-    ~2.1/window on a dense 3-signal narrowband scene (the +/-5 Hz
-    passband physically fits only a few frames), so 4x is >=2x headroom
-    over the densest measured population while still cutting the
-    HBM-bound phase-A/B refine lanes 3.25x vs the 13 static slots.
+    The narrowband candidate cap is 2x the batch width — the TPU-proven
+    bench operating point (BENCH_r03/r04: 128/128 decoded at W=128,
+    cap 256). The coarse acceptance passes ~1 valid lane/window at the
+    serving scene and ~2.1/window on a dense 3-signal narrowband scene
+    (the +/-5 Hz passband physically fits only a few frames), so 2x
+    covers the steady state with headroom; the densest scenes shed
+    their weakest-coarse-SNR lanes observably via fano_overflow.
+    (4x the batch width was tried as the dense-scene default in r3 and
+    REVERTED: at W=128 the 512-lane narrowband probe programs crash the
+    v5e worker — repeatable kernel fault/OOM during the phase-A probe
+    build, /tmp ladder logs r4 — so the default stays at the validated
+    shape; dense deployments can raise cand_compact_lanes explicitly
+    after validating their batch width.)
     """
     d, c = config.demod, config.coarse
     upd = {}
@@ -269,7 +276,7 @@ def with_serving_defaults(config: PipelineConfig,
         if d.fano_compact_lanes == 0:
             upd["fano_compact_lanes"] = 2 * batch_windows
         if d.cand_compact_lanes == 0:
-            upd["cand_compact_lanes"] = 4 * batch_windows
+            upd["cand_compact_lanes"] = 2 * batch_windows
     if not upd:
         return config
     return dataclasses.replace(config,

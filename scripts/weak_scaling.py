@@ -194,6 +194,19 @@ def main():
         r["efficiency_vs_1dev"] = round(
             r["throughput_window_samples_per_s"]
             / (base * r["devices"]), 3)
+        # same-wps normalization: the (time, 1, wps) CONTROL rows isolate
+        # what the multi-window per-shard program costs WITHOUT any mesh
+        # (r4 finding: wps=8 collapses even at 1 device — host memory/
+        # codegen, not collectives). Noisy for the same host reasons;
+        # kept for transparency, the analytic bound is the defensible
+        # number.
+        ctl = next((c["throughput_window_samples_per_s"] for c in results
+                    if c["axis"] == "time" and c["devices"] == 1
+                    and c["wins_per_shard"] == r["wins_per_shard"]), None)
+        if ctl and r["devices"] > 1:
+            r["efficiency_vs_1dev_same_wps"] = round(
+                r["throughput_window_samples_per_s"]
+                / (ctl * r["devices"]), 3)
 
     halo_bytes = (45000 - 3375) * 8
     doc = {

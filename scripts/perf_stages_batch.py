@@ -122,8 +122,9 @@ def main():
     # lets a wrapper run one stage per process so a TPU-worker crash on
     # one stage doesn't kill the ladder (stage deltas then come from the
     # printed cumulative times).
-    stages = ["post_peaks", "post_coarse", "post_phase_a", "post_head",
-              "post_refine", "pre_fano", None]
+    stages = ["post_stft", "post_peaks", "post_grid", "post_coarse",
+              "post_phase_a", "post_head", "post_refine", "pre_fano",
+              None]
     if os.environ.get("UWSPR_ONLY_FULL") == "1":
         stages = [None]
     elif os.environ.get("UWSPR_STAGES"):

@@ -84,7 +84,7 @@ def test_with_serving_defaults():
     assert s.demod.probe_dtype == "bf16"
     assert s.demod.refine_max_lanes == 64
     assert s.demod.fano_compact_lanes == 64
-    assert s.demod.cand_compact_lanes == 128
+    assert s.demod.cand_compact_lanes == 64   # 2x batch (r4: 4x reverted, TPU-unvalidated shape)
     # per-window serving: no cross-window compaction
     s1 = with_serving_defaults(base, 1)
     assert s1.demod.probe_dtype == "bf16"
@@ -97,7 +97,7 @@ def test_with_serving_defaults():
     s2 = with_serving_defaults(exp, 32)
     assert s2.demod.refine_max_lanes == 512
     assert s2.demod.fano_compact_lanes == 64
-    assert s2.demod.cand_compact_lanes == 128
+    assert s2.demod.cand_compact_lanes == 64
     # wideband static lane count: compaction stays opt-in
     wb = PipelineConfig(coarse=CoarseConfig(halfbandwidth=187, maxfreqs=200))
     s3 = with_serving_defaults(wb, 32)

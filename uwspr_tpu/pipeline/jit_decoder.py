@@ -308,6 +308,8 @@ class DeviceDecoder:
         # ---- coarse search ----
         ps = stft_power(z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
                         hop=cfg.spb // 2)
+        if self.truncate_stage == "post_stft":
+            return {"_t": ps.sum()}
         sm = smoothed_snr_spectrum(ps, hpbm=cfg.hpbm, m=cfg.fft_size // 2)
         valid, if0, snr = self._peaks(sm)
         if self.truncate_stage == "post_peaks":
@@ -321,6 +323,8 @@ class DeviceDecoder:
         syncgrid = coarse_score_grid(
             ps, if0, self._offsets, self._sign, impl="conv",
             f_window=(m - cfg.hpbm - 1 - 6, m + cfg.hpbm + 1 + 6))
+        if self.truncate_stage == "post_grid":
+            return {"_t": syncgrid.sum()}
         best, best_idx = select_best(syncgrid, self._is_nl,
                                      threshold=float(cfg.threshold))
         Mdim = self._offsets.shape[0]

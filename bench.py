@@ -93,16 +93,23 @@ def main():
     # the dominant HBM-bound stages by the REAL candidate count.
     # BENCH_CAND_LANES=0 reverts to the full W*C refine grid.
     cand_lanes = int(os.environ.get("BENCH_CAND_LANES", str(2 * N_WINDOWS)))
+    # STFT implementation (CoarseConfig.stft_impl): the serving default
+    # is the DFT-as-bf16-MXU-matmul formulation (measured A/B below the
+    # XLA FFT's byte cost); BENCH_STFT=fft reverts.
+    stft_impl = os.environ.get("BENCH_STFT", "matmul_bf16")
     if lanes or fano_lanes or cand_lanes or dtype != "f32" \
-            or fano_impl != "auto":
-        from uwspr_tpu.config import DemodConfig, PipelineConfig
-        decoder = DeviceDecoder(PipelineConfig(demod=DemodConfig(
-            refine_max_lanes=lanes, probe_dtype=dtype,
-            fano_compact_lanes=fano_lanes, fano_impl=fano_impl,
-            cand_compact_lanes=cand_lanes)))
+            or fano_impl != "auto" or stft_impl != "fft":
+        from uwspr_tpu.config import (CoarseConfig, DemodConfig,
+                                      PipelineConfig)
+        decoder = DeviceDecoder(PipelineConfig(
+            coarse=CoarseConfig(stft_impl=stft_impl),
+            demod=DemodConfig(
+                refine_max_lanes=lanes, probe_dtype=dtype,
+                fano_compact_lanes=fano_lanes, fano_impl=fano_impl,
+                cand_compact_lanes=cand_lanes)))
         log(f"refine_max_lanes: {lanes} probe_dtype: {dtype} "
             f"fano_compact_lanes: {fano_lanes} fano_impl: {fano_impl} "
-            f"cand_compact_lanes: {cand_lanes}")
+            f"cand_compact_lanes: {cand_lanes} stft: {stft_impl}")
     else:
         decoder = DeviceDecoder()
     windows, expected = make_windows(N_WINDOWS)

@@ -104,9 +104,12 @@ def main():
     # refine by the accepted-lane population — the per-stage attribution
     # of the SERVING operating point (judge r3 item 2).
     cand_lanes = int(os.environ.get("UWSPR_CAND_LANES", "0"))
+    # UWSPR_STFT=matmul_bf16: the DFT-as-MXU-matmul STFT (ops/stft.py)
+    stft_impl = os.environ.get("UWSPR_STFT", "fft")
     from uwspr_tpu.config import CoarseConfig
-    coarse = (CoarseConfig(halfbandwidth=187, maxfreqs=200) if WIDEBAND
-              else CoarseConfig())
+    coarse = (CoarseConfig(halfbandwidth=187, maxfreqs=200,
+                           stft_impl=stft_impl) if WIDEBAND
+              else CoarseConfig(stft_impl=stft_impl))
     cfg = PipelineConfig(coarse=coarse,
                          demod=DemodConfig(refine_max_lanes=lanes,
                                            probe_dtype=dtype,
@@ -114,7 +117,8 @@ def main():
                                            cand_compact_lanes=cand_lanes))
     print("backend:", jax.default_backend(), jax.devices(), "W =", W,
           "refine_lanes =", lanes, "probe_dtype =", dtype,
-          "fano_lanes =", fano_lanes, "wideband =", WIDEBAND, flush=True)
+          "fano_lanes =", fano_lanes, "wideband =", WIDEBAND,
+          "stft =", stft_impl, flush=True)
     ri = make_batch()
     prev = 0.0
     # UWSPR_ONLY_FULL=1: measure just the end-to-end row (A/B runs).

@@ -179,3 +179,34 @@ def test_golden_c2_candidate(searcher, reference_examples):
     if ref[0]["mode"] == 1:
         assert tuple(cands.slm_params[0][:2]) == ref[0]["slm"][:2]
         assert cands.slm_params[0][3] == ref[0]["slm"][3]
+
+
+def test_stft_matmul_bf16_matches_fft():
+    """CoarseConfig.stft_impl="matmul_bf16" (the byte-lean serving DFT,
+    ops/stft.py): spectrum within bf16 rounding of the XLA FFT, and the
+    device engine still decodes a golden frame through it."""
+    import jax.numpy as jnp
+
+    from uwspr_tpu.config import CoarseConfig, DemodConfig, PipelineConfig
+    from uwspr_tpu.io.channel import awgn
+    from uwspr_tpu.ops.stft import stft_power_core
+    from uwspr_tpu.pipeline.jit_decoder import DeviceDecoder
+    from uwspr_tpu.protocol.modulate import synthesize_frame
+
+    rng = np.random.default_rng(17)
+    z = awgn(synthesize_frame("VE3EMB", "FN25", 30, start_sample=400,
+                              freq_offset=2.0), -18.0, rng=rng)
+    zj = jnp.asarray(z)
+    a = np.asarray(stft_power_core(zj))
+    b = np.asarray(stft_power_core(zj, impl="matmul_bf16"))
+    # relative error where the spectrum carries energy (bf16 inputs,
+    # f32 accumulation); near-zero bins are absolute-error-dominated
+    mask = a > 1e-3 * a.max()
+    rel = np.abs(a[mask] - b[mask]) / a[mask]
+    assert np.median(rel) < 0.01
+    assert np.percentile(rel, 99) < 0.05
+
+    dec = DeviceDecoder(PipelineConfig(
+        coarse=CoarseConfig(stft_impl="matmul_bf16"),
+        demod=DemodConfig(probe_dtype="bf16")))
+    assert "VE3EMB FN25 30" in {s.message for s in dec.spots(dec(z))}

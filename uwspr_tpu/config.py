@@ -26,6 +26,12 @@ class CoarseConfig:
     cf: int = 1500                # carrier frequency (Hz) for SLM Doppler
     threshold: float = 10.0       # nonlinear/linear sync ratio gate
     search_nonlinear: bool = True  # include the 125 SLM trajectories
+    stft_impl: str = "fft"        # device-engine STFT: "fft" (XLA FFT,
+                                  # f32-exact vs the oracle) or
+                                  # "matmul_bf16" (DFT as bf16 MXU
+                                  # matmuls, ops/stft.py — the byte-lean
+                                  # serving formulation; host CoarseSearch
+                                  # always uses "fft")
 
     @property
     def fft_size(self) -> int:          # "size" = 2*spb

@@ -22,16 +22,44 @@ def half_sine_window(size: int) -> np.ndarray:
 
 
 def stft_power_core(z: jnp.ndarray, *, n_ffts: int = 348, size: int = 512,
-                    hop: int = 128) -> jnp.ndarray:
+                    hop: int = 128, impl: str = "fft") -> jnp.ndarray:
     """(..., fl) complex (traced, in-graph) -> (..., n_ffts, size) float32.
 
     Column layout matches the reference: column j holds frequency
     (j - size/2) * fs/size, i.e. DC at column size/2 (lib/FDR_impl.cc:246-253).
+
+    impl="fft": XLA's batched FFT (f32-exact vs the NumPy oracle).
+    impl="matmul_bf16": the 512-point DFT evaluated as four bf16 real
+    matmuls against embedded cos/sin matrices with f32 accumulation —
+    the MXU-native formulation (one 512x512 DFT is 0.5 MFLOP more
+    FLOPs than the FFT but the MXU has ~50x the FLOP/s headroom of the
+    HBM-bound FFT path; measured A/B in scripts/perf_stages_batch.py).
+    bf16 mantissa rounding perturbs the power spectrum by ~1e-2
+    relative — within the noise floor the 30th-percentile SNR
+    normalization rides on; decode parity is pinned by the bench
+    (128/128) and SWEEP artifacts, like the bf16 probe ladder.
     """
     w = jnp.asarray(half_sine_window(size))
     starts = jnp.arange(n_ffts) * hop                      # (n,)
     idx = starts[:, None] + jnp.arange(size)[None, :]      # (n, size)
     frames = z[..., idx] * w                               # (..., n, size)
+    if impl == "matmul_bf16":
+        k = np.arange(size)
+        ang = -2.0 * np.pi * np.outer(k, k) / size
+        # fftshift folded into the matrices: output column j = bin
+        # (j - size/2) mod size
+        shift = np.roll(np.arange(size), size // 2)
+        C = np.cos(ang)[:, shift].astype(np.float32)
+        S = np.sin(ang)[:, shift].astype(np.float32)
+        Cb, Sb = jnp.asarray(C, jnp.bfloat16), jnp.asarray(S, jnp.bfloat16)
+        fr = jnp.real(frames).astype(jnp.bfloat16)
+        fi = jnp.imag(frames).astype(jnp.bfloat16)
+        f32 = jnp.float32
+        re = (jnp.matmul(fr, Cb, preferred_element_type=f32)
+              - jnp.matmul(fi, Sb, preferred_element_type=f32))
+        im = (jnp.matmul(fr, Sb, preferred_element_type=f32)
+              + jnp.matmul(fi, Cb, preferred_element_type=f32))
+        return re * re + im * im
     spec = jnp.fft.fft(frames, axis=-1)
     spec = jnp.fft.fftshift(spec, axes=-1)
     return (spec.real * spec.real + spec.imag * spec.imag).astype(jnp.float32)

@@ -307,7 +307,7 @@ class DeviceDecoder:
 
         # ---- coarse search ----
         ps = stft_power(z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
-                        hop=cfg.spb // 2)
+                        hop=cfg.spb // 2, impl=cfg.stft_impl)
         if self.truncate_stage == "post_stft":
             return {"_t": ps.sum()}
         sm = smoothed_snr_spectrum(ps, hpbm=cfg.hpbm, m=cfg.fft_size // 2)

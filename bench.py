@@ -140,8 +140,17 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.time()
     pending = [decoder.decode_windows_ri(ri_j) for _ in range(reps)]
-    fetched = [np.asarray(p) for p in pending]
+    fetched = []
+    rep_s = []
+    for p in pending:
+        fetched.append(np.asarray(p))
+        rep_s.append(time.time() - t0)
     dt = (time.time() - t0) / reps
+    # per-rep completion stamps surface run-to-run variance — the
+    # tunneled shared chip's throughput varies with co-tenant load
+    # (measured up to ~4x on 2026-08-20); quote headlines with this
+    deltas = [rep_s[0]] + [b - a for a, b in zip(rep_s, rep_s[1:])]
+    log("per-batch seconds: " + " ".join(f"{d:.3f}" for d in deltas))
     out = decoder.unpack_output(fetched[-1])
 
     # correctness check

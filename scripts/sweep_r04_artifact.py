@@ -49,10 +49,19 @@ SNRS = list(range(-15, -32, -1))
 
 
 def main():
+    from uwspr_tpu.config import DemodConfig
     nb = with_serving_defaults(PipelineConfig(), TRIALS)
+    # wideband: serving defaults leave compaction opt-in (scene-
+    # dependent); size the caps like the BENCH_MATRIX wideband row —
+    # 4x the batch covers the single-signal sweep scene's 1-3 valid
+    # lanes/window with large headroom, overflow observable
     wb = with_serving_defaults(
-        PipelineConfig(coarse=CoarseConfig(halfbandwidth=187,
-                                           maxfreqs=200)), TRIALS)
+        PipelineConfig(
+            coarse=CoarseConfig(halfbandwidth=187, maxfreqs=200),
+            demod=DemodConfig(probe_dtype="bf16",
+                              cand_compact_lanes=4 * TRIALS,
+                              refine_max_lanes=4 * TRIALS,
+                              fano_compact_lanes=4 * TRIALS)), TRIALS)
     curves = {}
     for name, engine, cfg in [
         ("hybrid_serving", "hybrid", nb),

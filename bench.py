@@ -93,10 +93,13 @@ def main():
     # the dominant HBM-bound stages by the REAL candidate count.
     # BENCH_CAND_LANES=0 reverts to the full W*C refine grid.
     cand_lanes = int(os.environ.get("BENCH_CAND_LANES", str(2 * N_WINDOWS)))
-    # STFT implementation (CoarseConfig.stft_impl): the serving default
-    # is the DFT-as-bf16-MXU-matmul formulation (measured A/B below the
-    # XLA FFT's byte cost); BENCH_STFT=fft reverts.
-    stft_impl = os.environ.get("BENCH_STFT", "matmul_bf16")
+    # STFT implementation (CoarseConfig.stft_impl): interleaved
+    # same-process A/B measured the DFT-as-bf16-matmul formulation
+    # perf-NEUTRAL vs the XLA FFT at the serving point (medians 0.378
+    # vs 0.381 ms/win under +-25% co-tenant noise), so the default
+    # stays the f32-exact FFT; BENCH_STFT=matmul_bf16 selects the
+    # alternative.
+    stft_impl = os.environ.get("BENCH_STFT", "fft")
     if lanes or fano_lanes or cand_lanes or dtype != "f32" \
             or fano_impl != "auto" or stft_impl != "fft":
         from uwspr_tpu.config import (CoarseConfig, DemodConfig,
@@ -137,7 +140,10 @@ def main():
     # device pipelines batch k+1's compute under batch k's d2h transfer
     # (~30 ms/RPC on the tunneled runtime). This is the steady-state
     # serving pattern: results stream back while the next batch decodes.
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # 8 reps (was 3): the shared chip's throughput drifts with co-tenant
+    # load; more batches make the reported average less transient-bound
+    # and the per-batch stamps expose the spread either way
+    reps = int(os.environ.get("BENCH_REPS", "8"))
     t0 = time.time()
     pending = [decoder.decode_windows_ri(ri_j) for _ in range(reps)]
     fetched = []

@@ -40,9 +40,26 @@ def stft_power_core(z: jnp.ndarray, *, n_ffts: int = 348, size: int = 512,
     (128/128) and SWEEP artifacts, like the bf16 probe ladder.
     """
     w = jnp.asarray(half_sine_window(size))
-    starts = jnp.arange(n_ffts) * hop                      # (n,)
-    idx = starts[:, None] + jnp.arange(size)[None, :]      # (n, size)
-    frames = z[..., idx] * w                               # (..., n, size)
+    if size % hop == 0 and impl == "matmul_bf16":
+        # hop divides size: frame i = rows i..i+size/hop-1 of the
+        # (fl/hop, hop) reshape — STATIC slices + one concat instead of
+        # an (n, size) advanced gather (TPU gathers are row-latency-
+        # bound and materialize the full frame matrix before the window
+        # multiply; the sliced form fuses into the DFT matmuls)
+        k = size // hop                                    # 4
+        n_rows = n_ffts + k - 1
+        pad_to = n_rows * hop
+        zp = jnp.pad(z, [(0, 0)] * (z.ndim - 1)
+                     + [(0, pad_to - z.shape[-1])]) if pad_to > z.shape[-1] \
+            else z[..., :pad_to]
+        R = zp.reshape(zp.shape[:-1] + (n_rows, hop))
+        frames = jnp.concatenate(
+            [R[..., i:i + n_ffts, :] for i in range(k)], axis=-1)
+        frames = frames * w                                # (..., n, size)
+    else:
+        starts = jnp.arange(n_ffts) * hop                  # (n,)
+        idx = starts[:, None] + jnp.arange(size)[None, :]  # (n, size)
+        frames = z[..., idx] * w                           # (..., n, size)
     if impl == "matmul_bf16":
         k = np.arange(size)
         ang = -2.0 * np.pi * np.outer(k, k) / size

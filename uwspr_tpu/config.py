@@ -27,10 +27,13 @@ class CoarseConfig:
     threshold: float = 10.0       # nonlinear/linear sync ratio gate
     search_nonlinear: bool = True  # include the 125 SLM trajectories
     stft_impl: str = "fft"        # device-engine STFT: "fft" (XLA FFT,
-                                  # f32-exact vs the oracle) or
+                                  # f32-exact vs the oracle),
                                   # "matmul_bf16" (DFT as bf16 MXU
-                                  # matmuls, ops/stft.py — the byte-lean
-                                  # serving formulation; host CoarseSearch
+                                  # matmuls, ops/stft.py), or "pallas"
+                                  # (fused frames-in-VMEM kernel,
+                                  # ops/stft_pallas.py — same bf16
+                                  # numerics, ~1.4 MB/window HBM vs ~41
+                                  # for the XLA path; host CoarseSearch
                                   # always uses "fft")
 
     @property

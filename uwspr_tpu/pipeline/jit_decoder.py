@@ -306,8 +306,15 @@ class DeviceDecoder:
         z = z.astype(jnp.complex64)
 
         # ---- coarse search ----
-        ps = stft_power(z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
-                        hop=cfg.spb // 2, impl=cfg.stft_impl)
+        if cfg.stft_impl == "pallas":
+            from uwspr_tpu.ops.stft_pallas import stft_power_pallas
+            ps = stft_power_pallas(
+                z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
+                hop=cfg.spb // 2,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            ps = stft_power(z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
+                            hop=cfg.spb // 2, impl=cfg.stft_impl)
         if self.truncate_stage == "post_stft":
             return {"_t": ps.sum()}
         sm = smoothed_snr_spectrum(ps, hpbm=cfg.hpbm, m=cfg.fft_size // 2)

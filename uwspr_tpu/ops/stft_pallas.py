@@ -18,10 +18,13 @@ Per-window HBM traffic: 4 shifted input views (~0.7 MB) + the (348,
 Reference behavior implemented: lib/FDR_impl.cc:222-254 (348 windowed
 512-point FFTs, power spectrum, DC at column size/2).
 
-v5e status (r4 measured): decodes correctly through the device engine
-at W<=64 batches (interleaved A/B ~3.7% faster than the FFT, inside
-co-tenant noise); the W=128 vmapped program reproducibly crashes the
-TPU worker (Mosaic/runtime limit), so the serving default stays
+v5e status (r4 measured): the kernel itself runs fine vmapped at
+W=128 standalone (any block size), and the device engine decodes
+through it at W<=64 (interleaved A/B ~3.7% faster than the FFT,
+inside co-tenant noise). The FULL W=128 decode program with BOTH
+Pallas kernels (this + the VMEM Fano) reproducibly crashes the
+tunneled v5e worker — a server-side compiler/runtime limit, not a
+kernel bug — so the serving default stays
 CoarseConfig.stft_impl="fft" and this kernel is an experimental
 option. The STFT block is ~0.06 of ~0.29 ms/window at the serving
 point, bounding any win to ~20% of that block's bytes.

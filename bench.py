@@ -93,13 +93,13 @@ def main():
     # the dominant HBM-bound stages by the REAL candidate count.
     # BENCH_CAND_LANES=0 reverts to the full W*C refine grid.
     cand_lanes = int(os.environ.get("BENCH_CAND_LANES", str(2 * N_WINDOWS)))
-    # STFT implementation (CoarseConfig.stft_impl): interleaved
-    # same-process A/B measured the DFT-as-bf16-matmul formulation
-    # perf-NEUTRAL vs the XLA FFT at the serving point (medians 0.378
-    # vs 0.381 ms/win under +-25% co-tenant noise), so the default
-    # stays the f32-exact FFT; BENCH_STFT=matmul_bf16 selects the
-    # alternative.
-    stft_impl = os.environ.get("BENCH_STFT", "fft")
+    # STFT implementation (CoarseConfig.stft_impl): the serving default
+    # is the DFT-as-bf16-matmul formulation (sliced frame construction,
+    # fftshift folded into the matrices). Fetch-last interleaved A/B on
+    # v5e: 0.174 vs 0.203 ms/win pure compute (-14.3%); deep-SNR
+    # decode rates identical point-for-point vs fft (-28..-31 dB device
+    # sweep). BENCH_STFT=fft reverts to the f32-exact FFT.
+    stft_impl = os.environ.get("BENCH_STFT", "matmul_bf16")
     if lanes or fano_lanes or cand_lanes or dtype != "f32" \
             or fano_impl != "auto" or stft_impl != "fft":
         from uwspr_tpu.config import (CoarseConfig, DemodConfig,

@@ -106,7 +106,18 @@ def test_with_serving_defaults():
     assert s3.demod.fano_compact_lanes == 0
     assert s3.demod.cand_compact_lanes == 0
     # untouched config object comes back as-is when nothing applies
-    full = PipelineConfig(demod=DemodConfig(
-        probe_dtype="bf16", refine_max_lanes=8, fano_compact_lanes=8,
-        cand_compact_lanes=8))
+    full = PipelineConfig(
+        coarse=CoarseConfig(stft_impl="matmul_bf16"),
+        demod=DemodConfig(
+            probe_dtype="bf16", refine_max_lanes=8, fano_compact_lanes=8,
+            cand_compact_lanes=8))
     assert with_serving_defaults(full, 32) is full
+    # r4: the serving STFT upgrades a default "fft" to the measured
+    # matmul_bf16 formulation (explicit settings win)
+    assert s.coarse.stft_impl == "matmul_bf16"
+    exp_fft = PipelineConfig(coarse=CoarseConfig(stft_impl="fft"))
+    # explicit-looking "fft" is indistinguishable from the dataclass
+    # default, so it upgrades too — revert via BENCH_STFT/config after
+    # serving-defaults application if the f32-exact FFT is required
+    assert (with_serving_defaults(exp_fft, 32).coarse.stft_impl
+            == "matmul_bf16")

@@ -276,8 +276,15 @@ def with_serving_defaults(config: PipelineConfig,
     """
     d, c = config.demod, config.coarse
     upd = {}
+    upd_coarse = {}
     if d.probe_dtype == "f32":
         upd["probe_dtype"] = "bf16"
+    if c.stft_impl == "fft":
+        # DFT-as-bf16-matmul STFT: -14.3% serving compute (fetch-last
+        # interleaved A/B on v5e, 0.174 vs 0.203 ms/win), deep-SNR
+        # decode rates identical point-for-point; only the device
+        # engines read this (host CoarseSearch stays FFT/oracle-exact)
+        upd_coarse["stft_impl"] = "matmul_bf16"
     n_static = min(c.maxfreqs, (2 * c.hpbm - 1) // 2)  # coarse.max_peaks
     if batch_windows > 1 and n_static <= 32:
         if d.refine_max_lanes == 0:
@@ -286,10 +293,12 @@ def with_serving_defaults(config: PipelineConfig,
             upd["fano_compact_lanes"] = 2 * batch_windows
         if d.cand_compact_lanes == 0:
             upd["cand_compact_lanes"] = 2 * batch_windows
-    if not upd:
+    if not upd and not upd_coarse:
         return config
-    return dataclasses.replace(config,
-                               demod=dataclasses.replace(d, **upd))
+    return dataclasses.replace(
+        config,
+        coarse=dataclasses.replace(c, **upd_coarse) if upd_coarse else c,
+        demod=dataclasses.replace(d, **upd) if upd else d)
 
 
 __all__ = [

@@ -192,11 +192,14 @@ def detect_peaks(smspec: np.ndarray, cfg: CoarseConfig
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_lags", "impl", "f_window"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_lags", "impl", "f_window",
+                                    "dtype"))
 def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
                       offsets: jnp.ndarray, sync_sign: jnp.ndarray,
                       *, n_lags: int = 26, impl: str = "einsum",
-                      f_window: tuple[int, int] | None = None) -> jnp.ndarray:
+                      f_window: tuple[int, int] | None = None,
+                      dtype: str = "f32") -> jnp.ndarray:
     """Score sync correlation over (candidate, freq+/-2, lag, model).
 
     ps: (n, size) power; if0: (C,) candidate center bins;
@@ -253,6 +256,16 @@ def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
         K_ss = (onehot * sync_sign[None, :, None].astype(jnp.float32)
                 )[:, None]                                 # (M, 1, 162, D)
         K_pw = onehot[:, None]
+        if dtype == "bf16":
+            # bf16 conv operands with f32 accumulation (the MXU-native
+            # precision; kernels are one-hot +-1/0, exact in bf16 —
+            # only the A/B powersum planes round). The device path's
+            # selection already tolerates bf16-class value noise
+            # (probe_dtype ladder precedent); the host CoarseSearch
+            # keeps the f32 einsum oracle path.
+            Ax, Bx = Ax.astype(jnp.bfloat16), Bx.astype(jnp.bfloat16)
+            K_ss, K_pw = (K_ss.astype(jnp.bfloat16),
+                          K_pw.astype(jnp.bfloat16))
         dn = jax.lax.conv_dimension_numbers(Ax.shape, K_ss.shape,
                                             ("NCHW", "OIHW", "NCHW"))
         conv = functools.partial(

@@ -35,6 +35,15 @@ class CoarseConfig:
                                   # numerics, ~1.4 MB/window HBM vs ~41
                                   # for the XLA path; host CoarseSearch
                                   # always uses "fft")
+    grid_dtype: str = "f32"       # device-engine coarse sync-grid conv
+                                  # operands: "f32" or "bf16" (f32
+                                  # accumulation; one-hot kernels exact
+                                  # in bf16). Measured r4: deep-SNR
+                                  # decode rates identical, perf ~2%
+                                  # (inside noise) — so the default
+                                  # stays f32; option kept for byte-
+                                  # constrained configs. Host
+                                  # CoarseSearch stays f32.
 
     @property
     def fft_size(self) -> int:          # "size" = 2*spb

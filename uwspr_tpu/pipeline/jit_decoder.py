@@ -329,7 +329,8 @@ class DeviceDecoder:
         m = cfg.fft_size // 2
         syncgrid = coarse_score_grid(
             ps, if0, self._offsets, self._sign, impl="conv",
-            f_window=(m - cfg.hpbm - 1 - 6, m + cfg.hpbm + 1 + 6))
+            f_window=(m - cfg.hpbm - 1 - 6, m + cfg.hpbm + 1 + 6),
+            dtype=cfg.grid_dtype)
         if self.truncate_stage == "post_grid":
             return {"_t": syncgrid.sum()}
         best, best_idx = select_best(syncgrid, self._is_nl,

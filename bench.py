@@ -155,8 +155,13 @@ def main():
     # per-rep completion stamps surface run-to-run variance — the
     # tunneled shared chip's throughput varies with co-tenant load
     # (measured up to ~4x on 2026-08-20); quote headlines with this
-    deltas = [rep_s[0]] + [b - a for a, b in zip(rep_s, rep_s[1:])]
-    log("per-batch seconds: " + " ".join(f"{d:.3f}" for d in deltas))
+    # rep 0's stamp includes dispatching ALL reps plus the pipeline
+    # ramp-up, so it is time-to-first-result, not a per-batch time —
+    # label it separately; only the later deltas measure steady-state
+    # batch spacing (the co-tenant-variance signal)
+    deltas = [b - a for a, b in zip(rep_s, rep_s[1:])]
+    log(f"time-to-first-result: {rep_s[0]:.3f}s; steady-state per-batch "
+        "seconds: " + " ".join(f"{d:.3f}" for d in deltas))
     out = decoder.unpack_output(fetched[-1])
 
     # correctness check

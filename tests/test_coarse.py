@@ -217,7 +217,8 @@ def test_stft_pallas_matches_matmul():
     on CPU): same bf16 numerics as stft_impl="matmul_bf16", vmappable,
     and the device engine decodes through it. TPU status (documented in
     the module): validated to W=64 batches; W=128 hits a v5e
-    worker-crash limit, so the serving default remains "fft"."""
+    worker-crash limit, so it stays experimental (the serving default
+    via with_serving_defaults is the non-Pallas matmul_bf16 DFT)."""
     import jax
     import jax.numpy as jnp
 

@@ -112,12 +112,9 @@ def test_with_serving_defaults():
             probe_dtype="bf16", refine_max_lanes=8, fano_compact_lanes=8,
             cand_compact_lanes=8))
     assert with_serving_defaults(full, 32) is full
-    # r4: the serving STFT upgrades a default "fft" to the measured
-    # matmul_bf16 formulation (explicit settings win)
+    # r5: the serving STFT upgrades only the "auto" sentinel default to
+    # the measured matmul_bf16 formulation; an EXPLICIT "fft" means the
+    # user asked for the f32-exact FFT and is never upgraded
     assert s.coarse.stft_impl == "matmul_bf16"
     exp_fft = PipelineConfig(coarse=CoarseConfig(stft_impl="fft"))
-    # explicit-looking "fft" is indistinguishable from the dataclass
-    # default, so it upgrades too — revert via BENCH_STFT/config after
-    # serving-defaults application if the f32-exact FFT is required
-    assert (with_serving_defaults(exp_fft, 32).coarse.stft_impl
-            == "matmul_bf16")
+    assert with_serving_defaults(exp_fft, 32).coarse.stft_impl == "fft"

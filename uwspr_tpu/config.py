@@ -26,15 +26,20 @@ class CoarseConfig:
     cf: int = 1500                # carrier frequency (Hz) for SLM Doppler
     threshold: float = 10.0       # nonlinear/linear sync ratio gate
     search_nonlinear: bool = True  # include the 125 SLM trajectories
-    stft_impl: str = "fft"        # device-engine STFT: "fft" (XLA FFT,
-                                  # f32-exact vs the oracle),
+    stft_impl: str = "auto"       # device-engine STFT: "auto" (the
+                                  # sentinel default: behaves as "fft"
+                                  # unless with_serving_defaults
+                                  # upgrades it to the measured serving
+                                  # choice "matmul_bf16" — an EXPLICIT
+                                  # "fft" is never upgraded), "fft"
+                                  # (XLA FFT, f32-exact vs the oracle),
                                   # "matmul_bf16" (DFT as bf16 MXU
-                                  # matmuls, ops/stft.py), or "pallas"
-                                  # (fused frames-in-VMEM kernel,
+                                  # matmuls, ops/stft.py — the serving
+                                  # default), or "pallas" (fused
+                                  # frames-in-VMEM kernel,
                                   # ops/stft_pallas.py — same bf16
-                                  # numerics, ~1.4 MB/window HBM vs ~41
-                                  # for the XLA path; host CoarseSearch
-                                  # always uses "fft")
+                                  # numerics; experimental). Host
+                                  # CoarseSearch always uses "fft".
     grid_dtype: str = "f32"       # device-engine coarse sync-grid conv
                                   # operands: "f32" or "bf16" (f32
                                   # accumulation; one-hot kernels exact
@@ -162,19 +167,24 @@ class DemodConfig:
                                   # order-3 wrong decodes never agreed
                                   # (0/31) and had margin <= 0.0175.
                                   # Applies to all engines.
-    osd_margin_agree: float = 0.008  # margin floor on the agreement
+    osd_margin_agree: float = 0.011  # margin floor on the agreement
                                   # path: the flip search can fit the
                                   # SAME wrong codeword to two
                                   # correlated noisy lanes, but only
                                   # where the candidate landscape is
-                                  # flat — across 75 calibration+
-                                  # validation trials/SNR the wrong
-                                  # agreements' margins were 0.0001-
-                                  # 0.0105 (median 0.004), while the
-                                  # floor keeps 17/20 correct rescues
-                                  # at -30 dB (85% of the OSD gain)
-                                  # with zero accepted wrongs at
-                                  # -29..-31 (OSD_CALIB*.json).
+                                  # flat. Across OSD_CALIB*.json
+                                  # (orders 3-4, -29..-32 dB) the 5
+                                  # wrong cross-jiggle agreements had
+                                  # margins 0.0013-0.0105, so the
+                                  # floor sits ABOVE the worst
+                                  # measured wrong agreement (the r4
+                                  # value 0.008 did not — a wrong
+                                  # agreement at 0.0105 would have
+                                  # passed). 0.011 keeps 13 of the 19
+                                  # agreement-path correct rescues
+                                  # (vs 14 at 0.008): one measured
+                                  # rescue traded for dominating the
+                                  # whole wrong-agreement sample.
     refine_max_lanes: int = 0     # batched device decoder: compact the
                                   # post-worth refine stages (joint fine
                                   # grid + soft symbols) to this many worth
@@ -288,11 +298,13 @@ def with_serving_defaults(config: PipelineConfig,
     upd_coarse = {}
     if d.probe_dtype == "f32":
         upd["probe_dtype"] = "bf16"
-    if c.stft_impl == "fft":
+    if c.stft_impl == "auto":
         # DFT-as-bf16-matmul STFT: -14.3% serving compute (fetch-last
         # interleaved A/B on v5e, 0.174 vs 0.203 ms/win), deep-SNR
         # decode rates identical point-for-point; only the device
-        # engines read this (host CoarseSearch stays FFT/oracle-exact)
+        # engines read this (host CoarseSearch stays FFT/oracle-exact).
+        # Only the "auto" sentinel upgrades — a user who explicitly set
+        # "fft" asked for the f32-exact FFT and keeps it.
         upd_coarse["stft_impl"] = "matmul_bf16"
     n_static = min(c.maxfreqs, (2 * c.hpbm - 1) // 2)  # coarse.max_peaks
     if batch_windows > 1 and n_static <= 32:

@@ -38,9 +38,12 @@ accept = quality >= osd_min_quality AND (margin >= osd_min_margin OR
 (agreement AND margin >= osd_margin_agree)), then protocol unpacking of
 the 50-bit payload at egress. The agreement-path margin floor exists
 because deeper searches (order 4+) can replicate the SAME wrong
-codeword on two correlated lanes, but only where the landscape is flat
-(measured margin <= 0.0105 on such events). SWEEP_OSD_*_r04 artifacts
-quantify the resulting false-valid rates.
+codeword on two correlated lanes, but only where the landscape is flat:
+the 5 wrong agreements across OSD_CALIB*.json (orders 3-4, -29..-32 dB)
+had margins 0.0013-0.0105, so the floor (0.011, r5) sits above every
+measured one. A floor only dominates the events in its calibration
+sample — SWEEP_OSD_* artifacts quantify residual false-valid rates
+empirically at each SNR.
 """
 
 from __future__ import annotations
@@ -251,9 +254,9 @@ def accept_osd(deint_lanes: np.ndarray, gate: np.ndarray,
     2nd-best gated lane yields the SAME payload AND margin >=
     dcfg.osd_margin_agree). Calibrated on -29..-32 dB Fano-failed lanes
     (scripts/osd_calibrate.py, OSD_CALIB*.json): order-3 wrong decodes
-    never agreed cross-jiggle (0/31) and had margin <= 0.0175; order-4
-    wrong decodes agreed only in flat landscapes (margin <= 0.0105),
-    which the agreement-path margin floor rejects.
+    never agreed cross-jiggle at -29/-30 (0/31) and had margin <=
+    0.0175; wrong decodes that DID agree (orders 3-4, -30..-32) had
+    margin <= 0.0105, below the 0.011 agreement-path floor.
 
     Returns (jiggle_index, payload bytes) or (jiggle_index, None)."""
     from uwspr_tpu.protocol.fec_encode import bits_to_bytes

@@ -24,10 +24,10 @@ through it at W<=64 (interleaved A/B ~3.7% faster than the FFT,
 inside co-tenant noise). The FULL W=128 decode program with BOTH
 Pallas kernels (this + the VMEM Fano) reproducibly crashes the
 tunneled v5e worker — a server-side compiler/runtime limit, not a
-kernel bug — so the serving default stays
-CoarseConfig.stft_impl="fft" and this kernel is an experimental
-option. The STFT block is ~0.06 of ~0.29 ms/window at the serving
-point, bounding any win to ~20% of that block's bytes.
+kernel bug — so this kernel remains an experimental option. The
+serving default (via with_serving_defaults) is the non-Pallas
+"matmul_bf16" DFT in ops/stft.py; an explicit stft_impl="fft"
+keeps the f32-exact XLA FFT.
 """
 
 from __future__ import annotations
@@ -90,6 +90,12 @@ def stft_power_pallas(z: jnp.ndarray, *, n_ffts: int = 348,
     read zeros and their rows are sliced off the output)."""
     assert size % hop == 0 and block_frames % 8 == 0
     k = size // hop
+    # _kernel hardcodes exactly four shifted-view refs (r0..r3); other
+    # size/hop ratios would fail inside pallas_call with an opaque
+    # arity error, so reject them up front
+    assert k == 4, (
+        f"stft_power_pallas requires size // hop == 4 (got size={size}, "
+        f"hop={hop}): the fused kernel hardcodes 4 shifted frame views")
     n_blocks = -(-n_ffts // block_frames)
     n_pad = n_blocks * block_frames                 # 352 for the default
     n_rows = n_pad + k - 1

@@ -306,7 +306,10 @@ class DeviceDecoder:
         z = z.astype(jnp.complex64)
 
         # ---- coarse search ----
-        if cfg.stft_impl == "pallas":
+        # "auto" is the config sentinel: unless with_serving_defaults
+        # upgraded it to matmul_bf16, it resolves to the f32-exact FFT
+        stft_impl = "fft" if cfg.stft_impl == "auto" else cfg.stft_impl
+        if stft_impl == "pallas":
             from uwspr_tpu.ops.stft_pallas import stft_power_pallas
             ps = stft_power_pallas(
                 z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
@@ -314,7 +317,7 @@ class DeviceDecoder:
                 interpret=jax.default_backend() != "tpu")
         else:
             ps = stft_power(z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
-                            hop=cfg.spb // 2, impl=cfg.stft_impl)
+                            hop=cfg.spb // 2, impl=stft_impl)
         if self.truncate_stage == "post_stft":
             return {"_t": ps.sum()}
         sm = smoothed_snr_spectrum(ps, hpbm=cfg.hpbm, m=cfg.fft_size // 2)

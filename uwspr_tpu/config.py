@@ -90,23 +90,28 @@ class DemodConfig:
                                   # full 200x17 grid rarely passes gates;
                                   # overflow lanes report failure)
     fano_compact_lanes: int = 0   # batched device decoder: compact gated
-                                  # Fano lanes ACROSS the window batch to
-                                  # this many total lanes per phase (0 =
-                                  # per-window fano_max_lanes compaction
-                                  # only). The lockstep decoder pays the
-                                  # branch-metric matmul and while-loop
-                                  # state for every STATIC lane; at the
-                                  # serving point ~1 of W*C jiggle-0 lanes
-                                  # and ~0 of W*C*(J-1) retry lanes are
-                                  # gated, so a cross-window gather (like
-                                  # refine_max_lanes) shrinks the batch
-                                  # ~100x with identical results. Dropped
-                                  # overflow lanes surface per-window in
-                                  # fano_overflow. NOTE: when > 0, the
-                                  # per-window fano_max_lanes cap is NOT
-                                  # applied in the batched decoder — lane
-                                  # selection and overflow accounting use
-                                  # only this global cap.
+                                  # Fano lanes ACROSS the window batch
+                                  # into chunks of this many lanes per
+                                  # phase (0 = per-window fano_max_lanes
+                                  # compaction only). The lockstep
+                                  # decoder pays the branch-metric
+                                  # matmul and while-loop state for
+                                  # every STATIC lane; at the serving
+                                  # point ~1 of W*C jiggle-0 lanes and
+                                  # ~0 of W*C*(J-1) retry lanes are
+                                  # gated, so a cross-window gather
+                                  # (like refine_max_lanes) shrinks the
+                                  # batch ~100x with identical results.
+                                  # r5: gated lanes beyond the cap are
+                                  # NO LONGER dropped — a bounded
+                                  # while_loop decodes further chunks
+                                  # until every gated lane ran
+                                  # (jit_decoder._compact_fano), so
+                                  # this cap is a throughput knob, not
+                                  # a deep-SNR correctness cliff.
+                                  # NOTE: when > 0, the per-window
+                                  # fano_max_lanes cap is NOT applied
+                                  # in the batched decoder.
     cand_compact_lanes: int = 0   # batched device decoder: compact VALID
                                   # candidate lanes across the window batch
                                   # to this many total lanes before the
@@ -270,8 +275,12 @@ def with_serving_defaults(config: PipelineConfig,
     construction (spot parity with f32 verified; deep-SNR rates
     unchanged, SWEEP_OSD_DEVICE_r03), and cross-window refine/Fano lane
     compaction sized 2x the batch width — >=2x headroom over the
-    ~one-worth-lane-per-window steady state, overflow observable via
-    fano_overflow.
+    ~one-worth-lane-per-window steady state. The Fano cap is chunked,
+    never-drop (r5, jit_decoder._compact_fano): deep-SNR retry
+    populations beyond it decode in further while_loop chunks instead
+    of being shed, so untouched defaults keep hybrid-parity decode
+    rates at every SNR; residual refine/cand-compaction drops stay
+    observable via fano_overflow.
 
     Compaction defaults apply only to narrowband-ish configs (static
     candidate-lane count <= 32): wideband worth-lane populations are

@@ -812,27 +812,66 @@ class DeviceDecoder:
 
     def _compact_fano(self, gate_flat: jnp.ndarray, deint_flat: jnp.ndarray,
                       cap: int):
-        """Gated lanes anywhere in the flat batch -> ONE compacted Fano
-        batch (the cross-window analogue of the per-window fano_max_lanes
-        gather). The lockstep decoder pays its branch-metric matmul and
-        while-loop state for every static lane, active or not, so
-        shrinking W*C (or W*C*(J-1)) lanes to the few actually-gated ones
-        is nearly free throughput. Returns (success (N,), data (N, nbytes),
-        dropped (N,) bool) scattered back to the input shape; lanes beyond
-        ``cap`` degrade gracefully (reported undecoded) via ``dropped``."""
+        """Gated lanes anywhere in the flat batch -> compacted Fano
+        batches of ``cap`` lanes (the cross-window analogue of the
+        per-window fano_max_lanes gather). The lockstep decoder pays its
+        branch-metric matmul and while-loop state for every static lane,
+        active or not, so shrinking W*C (or W*C*(J-1)) lanes to the few
+        actually-gated ones is nearly free throughput.
+
+        EVERY gated lane is decoded (r5): when more than ``cap`` lanes
+        are gated — the deep-SNR case, where jiggle-retry populations
+        exceed the serving-sized cap — a bounded lax.while_loop walks
+        the gated-first lane ordering in ``cap``-sized chunks until all
+        gated lanes are done, instead of silently dropping the tail.
+        This matches the reference's never-drop retry loop
+        (lib/sync_and_demodulate_impl.cc:457-482); ``cap`` is now purely
+        a throughput knob (chunk width), not a correctness cliff. At the
+        serving steady state (~1 gated lane/window) the loop body runs
+        once — identical cost to the old single pass — and an all-idle
+        batch skips the Fano entirely.
+
+        Returns (success (N,), data (N, nbytes), dropped (N,) bool);
+        ``dropped`` is always all-False now and kept only so callers'
+        overflow accounting (which still observes refine/cand compaction
+        drops) stays uniform."""
         dcfg = self.config.demod
         N = gate_flat.shape[0]
         FL = min(cap, N)
-        sel = jnp.argsort(~gate_flat, stable=True)[:FL]
-        g = gate_flat[sel]
-        out = self._fano_batch(deint_flat[sel], self._mettab, g,
-                                    maxcycles=dcfg.maxcycles,
-                                    delta=dcfg.fano_delta)
-        succ = jnp.zeros(N, bool).at[sel].set(out["success"] & g)
-        nbytes = out["data"].shape[1]
-        data = jnp.zeros((N, nbytes), jnp.uint8).at[sel].set(out["data"])
-        dropped = gate_flat & ~jnp.zeros(N, bool).at[sel].set(True)
-        return succ, data, dropped
+        sel_all = jnp.argsort(~gate_flat, stable=True)      # gated first
+        n_gated = gate_flat.sum()
+
+        # state layout without running the decoder: abstract-eval only
+        shapes = jax.eval_shape(
+            lambda d, g: self._fano_batch(d, self._mettab, g,
+                                          maxcycles=dcfg.maxcycles,
+                                          delta=dcfg.fano_delta),
+            jax.ShapeDtypeStruct((FL, 162), deint_flat.dtype),
+            jax.ShapeDtypeStruct((FL,), jnp.bool_))
+        nbytes = shapes["data"].shape[1]
+
+        def cond(state):
+            return state[0] * FL < n_gated
+
+        def body(state):
+            i, succ, data = state
+            # the final chunk clamps into the tail: its overlap re-decodes
+            # a few already-done lanes with identical results (the scatter
+            # overwrites equal values), never skips a gated one
+            start = jnp.minimum(i * FL, N - FL)
+            sel = jax.lax.dynamic_slice_in_dim(sel_all, start, FL)
+            g = gate_flat[sel]
+            out = self._fano_batch(deint_flat[sel], self._mettab, g,
+                                   maxcycles=dcfg.maxcycles,
+                                   delta=dcfg.fano_delta)
+            succ = succ.at[sel].set(out["success"] & g)
+            data = data.at[sel].set(out["data"])
+            return i + 1, succ, data
+
+        init = (jnp.int32(0), jnp.zeros(N, bool),
+                jnp.zeros((N, nbytes), shapes["data"].dtype))
+        _, succ, data = jax.lax.while_loop(cond, body, init)
+        return succ, data, jnp.zeros(N, bool)
 
     def _fano_select_batch(self, pre: dict) -> dict:
         dcfg = self.config.demod

@@ -245,3 +245,49 @@ def test_stft_pallas_matches_matmul():
         coarse=CoarseConfig(stft_impl="pallas"),
         demod=DemodConfig(probe_dtype="bf16")))
     assert "VE3EMB FN25 30" in {s.message for s in dec.spots(dec(z))}
+
+
+def test_column_windowed_coarse_matches_full():
+    """The column-windowed device coarse path (r5): stft col_window,
+    smoothed_snr_spectrum col0, and the relative-coordinate conv grid
+    must be bit-identical to the full 512-column pipeline — nothing
+    downstream reads outside the passband plus reach, so the device
+    engine computes only ~2*hpbm+20 columns. Pinned exactly for both
+    STFT impls (each DFT output column is an independent dot product)."""
+    import jax.numpy as jnp
+
+    from uwspr_tpu.coarse.search import (build_drift_models,
+                                         coarse_score_grid,
+                                         smoothed_snr_spectrum)
+    from uwspr_tpu.ops.stft import stft_power_core
+    from uwspr_tpu.protocol.constants import SYNC_VECTOR
+
+    rng = np.random.default_rng(7)
+    z = (rng.normal(size=45000) + 1j * rng.normal(size=45000)
+         ).astype(np.complex64)
+    cfg = CoarseConfig()
+    m, hpbm = cfg.fft_size // 2, cfg.hpbm
+    cb0 = max(0, m - hpbm - 10)
+    cb1 = min(cfg.fft_size, m + hpbm + 10)
+    for impl in ("fft", "matmul_bf16"):
+        full = np.asarray(stft_power_core(jnp.asarray(z), impl=impl))
+        win = np.asarray(stft_power_core(jnp.asarray(z), impl=impl,
+                                         col_window=(cb0, cb1)))
+        np.testing.assert_array_equal(full[:, cb0:cb1], win)
+    ps_full = np.asarray(stft_power_core(jnp.asarray(z), impl="fft"))
+    ps_win = ps_full[:, cb0:cb1]
+    sm_f = smoothed_snr_spectrum(jnp.asarray(ps_full), hpbm=hpbm, m=m)
+    sm_w = smoothed_snr_spectrum(jnp.asarray(ps_win), hpbm=hpbm, m=m,
+                                 col0=cb0)
+    np.testing.assert_array_equal(np.asarray(sm_f), np.asarray(sm_w))
+    bank = build_drift_models(cfg)
+    sign = 2.0 * SYNC_VECTOR.astype(np.float32) - 1.0
+    if0 = np.array([m - 3, m + 5, m - hpbm + 1, m + hpbm - 2], np.int32)
+    g_f = coarse_score_grid(
+        jnp.asarray(ps_full), jnp.asarray(if0), jnp.asarray(bank.offsets),
+        jnp.asarray(sign), impl="conv", f_window=(m - hpbm - 7, m + hpbm + 7))
+    g_w = coarse_score_grid(
+        jnp.asarray(ps_win), jnp.asarray(if0 - cb0),
+        jnp.asarray(bank.offsets), jnp.asarray(sign), impl="conv",
+        f_window=(m - hpbm - 7 - cb0, m + hpbm + 7 - cb0))
+    np.testing.assert_array_equal(np.asarray(g_f), np.asarray(g_w))

@@ -1,0 +1,104 @@
+"""DeviceRingDecoder: hop-fed device-resident streaming (r5).
+
+The ring engine must find the same transmissions as the host-windowed
+engines on the same continuous stream, while ingesting only hop-sized
+blocks (the 13.3x h2d cut that makes host-fed TPU serving viable), and
+its checkpoint state must round-trip.
+"""
+
+import numpy as np
+
+from uwspr_tpu.config import DemodConfig, PipelineConfig
+from uwspr_tpu.io.channel import awgn
+from uwspr_tpu.pipeline.device_ring import DeviceRingDecoder
+from uwspr_tpu.protocol.modulate import synthesize_frame
+
+
+def _streams(n_channels=2, seconds=150, snr_db=-18, seed=5):
+    """(C, n) complex: continuous streams, one frame per channel placed a
+    hop-aligned while into the stream."""
+    rng = np.random.default_rng(seed)
+    n = seconds * 375
+    out = np.zeros((n_channels, n), np.complex64)
+    expected = []
+    for c in range(n_channels):
+        z = synthesize_frame("VE3EMB", "FN25", 30,
+                             start_sample=int(rng.integers(0, 2000)),
+                             freq_offset=float(rng.uniform(-4, 4)),
+                             pad_to=45000)
+        start = 6750 + c * 3375          # 2-3 hops into the stream
+        out[c, start:start + 45000] = z
+        out[c] = awgn(out[c], snr_db, rng=rng)
+        expected.append("VE3EMB FN25 30")
+    return out, expected
+
+
+def test_ring_decodes_streamed_frames():
+    streams, expected = _streams()
+    cfg = PipelineConfig(demod=DemodConfig(maxcycles=2000))
+    ring = DeviceRingDecoder(cfg, n_channels=2,
+                             apply_serving_defaults=False)
+    hop = ring.hop
+    found = [set(), set()]
+    handles = []
+    for k in range(streams.shape[1] // hop):
+        h = ring.push_hop(streams[:, k * hop:(k + 1) * hop])
+        if h is not None:
+            handles.append(h)
+    # prefill produces no handles until the ring holds a full window
+    assert len(handles) == streams.shape[1] // hop - (45000 // hop + 1) + 1
+    for h in handles:
+        out = ring.fetch(h)
+        for c, s in ring.spots(out):
+            found[c].add(s.message)
+    for c in range(2):
+        assert expected[c] in found[c], (c, found[c])
+
+
+def test_ring_checkpoint_roundtrip():
+    streams, expected = _streams(n_channels=1, seconds=160, seed=9)
+    cfg = PipelineConfig(demod=DemodConfig(maxcycles=2000))
+    hop = 3375
+    n_hops = streams.shape[1] // hop
+
+    ring = DeviceRingDecoder(cfg, n_channels=1,
+                             apply_serving_defaults=False)
+    msgs_full = set()
+    state = None
+    split = n_hops // 2
+    for k in range(n_hops):
+        if k == split:
+            state = ring.state()
+        h = ring.push_hop(streams[:, k * hop:(k + 1) * hop])
+        if h is not None:
+            msgs_full |= {s.message for _, s in ring.spots(ring.fetch(h))}
+
+    # resume from the checkpoint in a fresh engine: identical tail decodes
+    ring2 = DeviceRingDecoder(cfg, n_channels=1,
+                              apply_serving_defaults=False)
+    ring2.restore(state)
+    msgs_tail = set()
+    for k in range(split, n_hops):
+        h = ring2.push_hop(streams[:, k * hop:(k + 1) * hop])
+        if h is not None:
+            msgs_tail |= {s.message for _, s in ring2.spots(ring2.fetch(h))}
+    assert expected[0] in msgs_full
+    assert expected[0] in msgs_tail
+
+
+def test_ring_int16_ingest_decodes():
+    """int16 ingest (half the h2d bytes, the ADC-native ABI) must decode
+    the same frames: quantization noise sits ~90 dB under a full-scale
+    hop block, far below channel noise at any operating SNR."""
+    streams, expected = _streams(n_channels=1, seconds=160, seed=5)
+    cfg = PipelineConfig(demod=DemodConfig(maxcycles=2000))
+    ring = DeviceRingDecoder(cfg, n_channels=1,
+                             apply_serving_defaults=False,
+                             ingest_dtype="int16")
+    hop = ring.hop
+    msgs = set()
+    for k in range(streams.shape[1] // hop):
+        h = ring.push_hop(streams[:, k * hop:(k + 1) * hop])
+        if h is not None:
+            msgs |= {s.message for _, s in ring.spots(ring.fetch(h))}
+    assert expected[0] in msgs

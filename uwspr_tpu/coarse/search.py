@@ -142,12 +142,23 @@ class Candidates:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("hpbm", "m"))
-def smoothed_snr_spectrum(ps: jnp.ndarray, *, hpbm: int, m: int) -> jnp.ndarray:
-    """(..., n, size) power -> (..., 2*hpbm) SNR-normalized smooth spectrum."""
-    psavg = ps.sum(axis=-2)                               # (..., size)
+@functools.partial(jax.jit, static_argnames=("hpbm", "m", "col0"))
+def smoothed_snr_spectrum(ps: jnp.ndarray, *, hpbm: int, m: int,
+                          col0: int = 0) -> jnp.ndarray:
+    """(..., n, ncols) power -> (..., 2*hpbm) SNR-normalized smooth spectrum.
+
+    ``col0``: absolute spectrum column held by ps column 0 — the
+    column-windowed device pipeline passes only the passband plus reach
+    (stft_power_core col_window); 0 = full-width spectrum. The zero pad
+    at the (windowed) array edges reproduces the full-width behavior
+    exactly: smoothing only ever reads columns [m-hpbm-3, m+hpbm+3),
+    which the window provides wherever they exist absolutely, and the
+    absolute array edge (column 0/size, reachable only with
+    halfbandwidth near fs/2, where the window is the full spectrum
+    anyway) stays the documented zero-contribution rule."""
+    psavg = ps.sum(axis=-2)                               # (..., ncols)
     finpb = 2 * hpbm
-    lo = m - hpbm
+    lo = m - hpbm - col0
     # +/-3-bin box smoothing over the passband (zero-padded at array edges)
     pad = jnp.pad(psavg, [(0, 0)] * (psavg.ndim - 1) + [(3, 3)])
     idx = lo + jnp.arange(finpb)

@@ -22,8 +22,9 @@ def half_sine_window(size: int) -> np.ndarray:
 
 
 def stft_power_core(z: jnp.ndarray, *, n_ffts: int = 348, size: int = 512,
-                    hop: int = 128, impl: str = "fft") -> jnp.ndarray:
-    """(..., fl) complex (traced, in-graph) -> (..., n_ffts, size) float32.
+                    hop: int = 128, impl: str = "fft",
+                    col_window: tuple[int, int] | None = None) -> jnp.ndarray:
+    """(..., fl) complex (traced, in-graph) -> (..., n_ffts, ncols) float32.
 
     Column layout matches the reference: column j holds frequency
     (j - size/2) * fs/size, i.e. DC at column size/2 (lib/FDR_impl.cc:246-253).
@@ -38,6 +39,16 @@ def stft_power_core(z: jnp.ndarray, *, n_ffts: int = 348, size: int = 512,
     relative — within the noise floor the 30th-percentile SNR
     normalization rides on; decode parity is pinned by the bench
     (128/128) and SWEEP artifacts, like the bf16 probe ladder.
+
+    col_window=(lo, hi): return only output columns [lo, hi) — the
+    narrowband device pipeline reads nothing outside the passband plus
+    the conv-kernel/smoothing reach (~48 of 512 columns at the example
+    config; see jit_decoder._coarse_stage). Each DFT output column is an
+    independent dot product, so the matmul impl simply embeds the sliced
+    cos/sin matrices (identical per-column math at ~1/10 the MXU work
+    and output bytes); the FFT impl computes the full transform and
+    slices (the FFT cannot subset columns), still saving every
+    downstream byte.
     """
     w = jnp.asarray(half_sine_window(size))
     if size % hop == 0 and impl == "matmul_bf16":
@@ -68,6 +79,9 @@ def stft_power_core(z: jnp.ndarray, *, n_ffts: int = 348, size: int = 512,
         shift = np.roll(np.arange(size), size // 2)
         C = np.cos(ang)[:, shift].astype(np.float32)
         S = np.sin(ang)[:, shift].astype(np.float32)
+        if col_window is not None:
+            C = C[:, col_window[0]:col_window[1]]
+            S = S[:, col_window[0]:col_window[1]]
         Cb, Sb = jnp.asarray(C, jnp.bfloat16), jnp.asarray(S, jnp.bfloat16)
         fr = jnp.real(frames).astype(jnp.bfloat16)
         fi = jnp.imag(frames).astype(jnp.bfloat16)
@@ -79,7 +93,10 @@ def stft_power_core(z: jnp.ndarray, *, n_ffts: int = 348, size: int = 512,
         return re * re + im * im
     spec = jnp.fft.fft(frames, axis=-1)
     spec = jnp.fft.fftshift(spec, axes=-1)
-    return (spec.real * spec.real + spec.imag * spec.imag).astype(jnp.float32)
+    ps = (spec.real * spec.real + spec.imag * spec.imag).astype(jnp.float32)
+    if col_window is not None:
+        ps = ps[..., col_window[0]:col_window[1]]
+    return ps
 
 
 @functools.partial(jax.jit, static_argnames=("n_ffts", "size", "hop"))

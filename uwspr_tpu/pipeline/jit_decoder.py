@@ -306,6 +306,20 @@ class DeviceDecoder:
         z = z.astype(jnp.complex64)
 
         # ---- coarse search ----
+        # Column window (r5): nothing downstream ever reads spectrum
+        # columns outside the passband plus reach — smoothing needs
+        # [m-hpbm-3, m+hpbm+3), the conv grid's A/B powersum planes need
+        # [m-hpbm-10, m+hpbm+10) (f_window +/-7 plus the r[f+/-3]
+        # stencil) — so the device pipeline computes/keeps only those
+        # ~2*hpbm+20 columns (48 of 512 at the narrowband example
+        # config). The matmul DFT embeds the sliced cos/sin matrices
+        # (identical per-column math, ~10x less MXU work and output
+        # bytes); the FFT/Pallas impls slice after. Degenerates to the
+        # full spectrum at wideband (hpbm near m). Peak/candidate bins
+        # (if0) stay ABSOLUTE; only ps-indexed calls shift by cb0.
+        m = cfg.fft_size // 2
+        cb0 = max(0, m - cfg.hpbm - 10)
+        cb1 = min(cfg.fft_size, m + cfg.hpbm + 10)
         # "auto" is the config sentinel: unless with_serving_defaults
         # upgraded it to matmul_bf16, it resolves to the f32-exact FFT
         stft_impl = "fft" if cfg.stft_impl == "auto" else cfg.stft_impl
@@ -314,13 +328,14 @@ class DeviceDecoder:
             ps = stft_power_pallas(
                 z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
                 hop=cfg.spb // 2,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu")[..., cb0:cb1]
         else:
             ps = stft_power(z, n_ffts=cfg.n_ffts, size=cfg.fft_size,
-                            hop=cfg.spb // 2, impl=stft_impl)
+                            hop=cfg.spb // 2, impl=stft_impl,
+                            col_window=(cb0, cb1))
         if self.truncate_stage == "post_stft":
             return {"_t": ps.sum()}
-        sm = smoothed_snr_spectrum(ps, hpbm=cfg.hpbm, m=cfg.fft_size // 2)
+        sm = smoothed_snr_spectrum(ps, hpbm=cfg.hpbm, m=m, col0=cb0)
         valid, if0, snr = self._peaks(sm)
         if self.truncate_stage == "post_peaks":
             return {"_t": if0.sum().astype(jnp.float32) + snr.sum()}
@@ -328,11 +343,14 @@ class DeviceDecoder:
         # 1-ulp accumulation-order difference is irrelevant here (device
         # path already diverges from the CPU oracle via bf16 matmuls).
         # f_window: candidates only gather passband+/-2 columns, so skip
-        # scoring the rest of the 512-column grid (kernel reach +/-6).
-        m = cfg.fft_size // 2
+        # scoring the rest of the grid (kernel reach +/-6). Both f_window
+        # and if0 are passed in ps-window-relative coordinates; the
+        # zero-contribution edge rule applies at absolute column 0/size
+        # exactly as before (the window ends there or further out).
         syncgrid = coarse_score_grid(
-            ps, if0, self._offsets, self._sign, impl="conv",
-            f_window=(m - cfg.hpbm - 1 - 6, m + cfg.hpbm + 1 + 6),
+            ps, if0 - cb0, self._offsets, self._sign, impl="conv",
+            f_window=(m - cfg.hpbm - 1 - 6 - cb0,
+                      m + cfg.hpbm + 1 + 6 - cb0),
             dtype=cfg.grid_dtype)
         if self.truncate_stage == "post_grid":
             return {"_t": syncgrid.sum()}

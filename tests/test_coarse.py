@@ -291,3 +291,60 @@ def test_column_windowed_coarse_matches_full():
         jnp.asarray(bank.offsets), jnp.asarray(sign), impl="conv",
         f_window=(m - hpbm - 7 - cb0, m + hpbm + 7 - cb0))
     np.testing.assert_array_equal(np.asarray(g_f), np.asarray(g_w))
+
+
+def test_select_best_scan_path_matches_oracle():
+    """The r5 group-synchronous closed-form select_best (linear-first
+    ordered masks — the production shape) must be bit-identical to the
+    literal fold, including intra-group nonlinear accept chains, the
+    4-deep chain that triggers the exact while_loop fallback (dirty
+    lane), multi-linear segments, NaNs, and negative-best chains."""
+    from uwspr_tpu.coarse.search import select_best, select_best_scan
+
+    rng = np.random.default_rng(11)
+    M = 12
+    # ordered: 3 linear models then 9 nonlinear (maxdrift=1-style)
+    is_nl = jnp.asarray(np.array([False] * 3 + [True] * 9))
+    cases = []
+    for _ in range(4):
+        cases.append(rng.normal(size=(5, 5, 26, M)).astype(np.float32))
+    # intra-group chain of exactly 3 nonlinear accepts (scan limit)
+    c3 = np.full((1, 5, 26, M), 1e-6, np.float32)
+    c3[0, 0, 0, 1] = 1e-4           # linear segment max (idx 1 of 3)
+    c3[0, 0, 0, 4] = 2e-3           # nl: ratio 20
+    c3[0, 0, 0, 7] = 0.3            # nl: ratio 150
+    c3[0, 0, 0, 10] = 40.0          # nl: ratio 133
+    cases.append(c3)
+    # 4-deep intra-group chain: exceeds the closed-form depth, must be
+    # flagged dirty and recovered exactly by the while_loop fallback
+    c4 = np.full((2, 5, 26, M), 1e-9, np.float32)
+    c4[0, 1, 3, 0] = 1e-7
+    c4[0, 1, 3, 3] = 5e-6
+    c4[0, 1, 3, 5] = 1e-4
+    c4[0, 1, 3, 8] = 9e-3
+    c4[0, 1, 3, 11] = 0.7
+    c4[1, 0, 0, 2] = 0.5            # other lane: plain linear winner
+    cases.append(c4)
+    # second linear model is the segment max; later groups try nl
+    ml = np.full((1, 5, 26, M), 0.001, np.float32)
+    ml[0, 0, 0, 0] = 0.2
+    ml[0, 0, 0, 1] = 0.4            # linear record after record
+    ml[0, 0, 0, 2] = 0.4            # tie: first occurrence wins
+    ml[0, 2, 7, 5] = 4.5            # nl: ratio 11.25 > 10
+    cases.append(ml)
+    # NaNs never accepted, in both segments
+    nn = rng.normal(size=(2, 5, 26, M)).astype(np.float32)
+    nn[0, 0, 0, :3] = np.nan
+    nn[1, :, :, 3:] = np.nan
+    cases.append(nn)
+    # negative chains (reference's decrease quirk) in ordered masks
+    dec = np.full((1, 5, 26, M), -100.0, np.float32)
+    dec[0, 0, 0, 0] = -5.0
+    dec[0, 0, 2, 4] = -80.0         # nl: 16 > 10 -> best decreases
+    dec[0, 0, 4, 1] = -60.0         # linear accept against -80
+    cases.append(dec)
+    for sync in cases:
+        b1, i1 = select_best(jnp.asarray(sync), is_nl, threshold=10.0)
+        b2, i2 = select_best_scan(jnp.asarray(sync), is_nl, threshold=10.0)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))

@@ -98,13 +98,16 @@ def test_with_serving_defaults():
     assert s2.demod.refine_max_lanes == 512
     assert s2.demod.fano_compact_lanes == 64
     assert s2.demod.cand_compact_lanes == 64
-    # wideband static lane count: compaction stays opt-in
+    # wideband static lane count (r5): compaction sized 16x batch,
+    # bounded at the TPU-validated 512-lane wideband shape
     wb = PipelineConfig(coarse=CoarseConfig(halfbandwidth=187, maxfreqs=200))
     s3 = with_serving_defaults(wb, 32)
     assert s3.demod.probe_dtype == "bf16"
-    assert s3.demod.refine_max_lanes == 0
-    assert s3.demod.fano_compact_lanes == 0
-    assert s3.demod.cand_compact_lanes == 0
+    assert s3.demod.refine_max_lanes == 512
+    assert s3.demod.fano_compact_lanes == 512
+    assert s3.demod.cand_compact_lanes == 512
+    s3b = with_serving_defaults(wb, 8)
+    assert s3b.demod.cand_compact_lanes == 128
     # untouched config object comes back as-is when nothing applies
     full = PipelineConfig(
         coarse=CoarseConfig(stft_impl="matmul_bf16"),

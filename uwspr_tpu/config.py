@@ -282,11 +282,12 @@ def with_serving_defaults(config: PipelineConfig,
     rates at every SNR; residual refine/cand-compaction drops stay
     observable via fano_overflow.
 
-    Compaction defaults apply only to narrowband-ish configs (static
-    candidate-lane count <= 32): wideband worth-lane populations are
-    scene-dependent, and a DEFAULT must not silently degrade dense
-    scenes, so `refine_max_lanes`/`cand_compact_lanes` there stay
-    opt-in (scripts/bench_matrix.py row_wideband shows the sizing).
+    Wideband configs (static candidate-lane count > 32) get their own
+    compaction sizing (r5): 16x the batch width bounded at 512 lanes —
+    the TPU-validated wideband shape with >=60% headroom over the
+    measured 10-signal dense scene (BENCH_MATRIX row_wideband). Worth
+    lanes beyond the refine/cand caps shed weakest-coarse-SNR-first,
+    observably via the overflow counters; the Fano cap never drops.
 
     The narrowband candidate cap is 2x the batch width — the TPU-proven
     bench operating point (BENCH_r03/r04: 128/128 decoded at W=128,
@@ -323,6 +324,24 @@ def with_serving_defaults(config: PipelineConfig,
             upd["fano_compact_lanes"] = 2 * batch_windows
         if d.cand_compact_lanes == 0:
             upd["cand_compact_lanes"] = 2 * batch_windows
+    elif batch_windows > 1:
+        # Wideband serving defaults (r5): the full-passband config
+        # carries maxfreqs=200 static candidate slots per window
+        # (grc/uwspr_FDR.xml:31-36) of which only the accepted few are
+        # real, and refine is ~linear in static lanes — compaction is
+        # what makes wideband serve at all. Sized 16x the batch width
+        # (bounded 512, the TPU-validated wideband lane shape,
+        # BENCH_MATRIX row_wideband): >=60% headroom over the measured
+        # 10-signal scene's ~10 worth lanes/window. The Fano cap is
+        # never-drop (chunked); refine/cand caps shed weakest-coarse-SNR
+        # lanes first, observably via fano_overflow/refine_overflow.
+        cap = min(16 * batch_windows, 512)
+        if d.refine_max_lanes == 0:
+            upd["refine_max_lanes"] = cap
+        if d.fano_compact_lanes == 0:
+            upd["fano_compact_lanes"] = cap
+        if d.cand_compact_lanes == 0:
+            upd["cand_compact_lanes"] = cap
     if not upd and not upd_coarse:
         return config
     return dataclasses.replace(

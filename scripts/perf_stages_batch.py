@@ -106,10 +106,16 @@ def main():
     cand_lanes = int(os.environ.get("UWSPR_CAND_LANES", "0"))
     # UWSPR_STFT=matmul_bf16: the DFT-as-MXU-matmul STFT (ops/stft.py)
     stft_impl = os.environ.get("UWSPR_STFT", "fft")
+    # UWSPR_GRID_DTYPE=bf16: coarse sync-grid conv operands in bfloat16
+    # (CoarseConfig.grid_dtype) — the wideband conv is the dominant
+    # stage at halfbandwidth=187
+    grid_dtype = os.environ.get("UWSPR_GRID_DTYPE", "auto")
     from uwspr_tpu.config import CoarseConfig
     coarse = (CoarseConfig(halfbandwidth=187, maxfreqs=200,
-                           stft_impl=stft_impl) if WIDEBAND
-              else CoarseConfig(stft_impl=stft_impl))
+                           stft_impl=stft_impl, grid_dtype=grid_dtype)
+              if WIDEBAND
+              else CoarseConfig(stft_impl=stft_impl,
+                                grid_dtype=grid_dtype))
     cfg = PipelineConfig(coarse=coarse,
                          demod=DemodConfig(refine_max_lanes=lanes,
                                            probe_dtype=dtype,

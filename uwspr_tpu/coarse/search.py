@@ -236,13 +236,16 @@ def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
       ties differently — used by the batched device pipeline, whose TPU
       numerics already diverge from the CPU oracle (bf16 matmuls).
 
-    ``f_window=(lo, hi)`` (conv impl only) restricts scoring to absolute
+    ``f_window=(lo, hi)`` (both impls) restricts scoring to absolute
     spectrum columns [lo, hi).  Candidates only ever gather columns within
-    the passband +/-2, and the conv kernel reaches +/-_D_MAX further, so a
-    caller that knows the passband can pass lo = m - hpbm - 2 - _D_MAX,
-    hi = m + hpbm + 2 + _D_MAX and skip scoring the other ~90% of the 512
-    columns (the reference scans only the passband too, FDR_impl.cc:330).
-    Columns outside [0, size) keep the zero-contribution edge rule.
+    the passband +/-2, and the scoring stencil reaches +/-_D_MAX further,
+    so a caller that knows the passband can pass lo = m - hpbm - 2 -
+    _D_MAX, hi = m + hpbm + 2 + _D_MAX and skip scoring the other ~90% of
+    the 512 columns (the reference scans only the passband too,
+    FDR_impl.cc:330). Columns outside [0, size) keep the
+    zero-contribution edge rule. ``dtype="bf16"`` (both impls) runs the
+    contraction operands in bfloat16 with f32 accumulation (one-hot/sign
+    weights exact; only the A/B powersum planes round).
     """
     n, size = ps.shape
     r = jnp.sqrt(ps)                                       # (n, size)
@@ -290,22 +293,49 @@ def coarse_score_grid(ps: jnp.ndarray, if0: jnp.ndarray,
         ss = conv(Ax, K_ss)[0, :, :n_lags]                 # (m, w, f)
         pw = conv(Bx, K_pw)[0, :, :n_lags]
     else:
-        # shifted copies: S[row, d, f] = X[row, f + d + _D_MIN]
+        # im2col einsum: one (M, 162*13) x (162*13, lags*width) MXU GEMM
+        # per plane. With dtype="bf16" the shifted-copy build and GEMM
+        # operands are bfloat16 (f32 accumulation; the one-hot/sign
+        # weights are exact in bf16) — the wideband serving formulation:
+        # the dilated one-hot conv lowers to <10% MXU on v5e while this
+        # GEMM runs the same 7.1 GFLOP/window near MXU speed.
+        if f_window is not None:
+            lo, hi = max(f_window[0], 0), min(f_window[1], size)
+            A = A[:, lo:hi]
+            B = B[:, lo:hi]
+        width = A.shape[1]
+        if dtype == "bf16":
+            A = A.astype(jnp.bfloat16)
+            B = B.astype(jnp.bfloat16)
+        # shifted copies: S[row, d, f] = X[row, f + d + _D_MIN] (zero
+        # outside the f window — the documented edge rule, like conv).
+        # Built entirely from STATIC slices — TPU gathers are
+        # row-latency-bound and dominated this build (measured r5)
         padA = jnp.pad(A, ((0, 0), (_N_SHIFTS, _N_SHIFTS)))
         padB = jnp.pad(B, ((0, 0), (_N_SHIFTS, _N_SHIFTS)))
-        d = jnp.arange(_N_SHIFTS)[None, :, None]
-        fidx = jnp.arange(size)[None, None, :] + d + (_D_MIN + _N_SHIFTS)
-        SA = jnp.take_along_axis(padA[:, None, :], fidx, axis=2)  # (n,D,size)
-        SB = jnp.take_along_axis(padB[:, None, :], fidx, axis=2)
-        # gather rows kidx = k0 + 2k  -> (lags, 162, D, size)
-        k0 = jnp.arange(n_lags)[:, None]
-        kidx = k0 + 2 * jnp.arange(162)[None, :]
-        XA = SA[kidx]                                      # (w, k, D, size)
-        XB = SB[kidx]
-        W_ss = onehot * sync_sign[None, :, None].astype(jnp.float32)
+        off0 = _D_MIN + _N_SHIFTS
+        SA = jnp.stack([padA[:, dd + off0:dd + off0 + width]
+                        for dd in range(_N_SHIFTS)], axis=1)      # (n,D,w)
+        SB = jnp.stack([padB[:, dd + off0:dd + off0 + width]
+                        for dd in range(_N_SHIFTS)], axis=1)
+        # lag rows kidx = k0 + 2k via the even/odd parity split — 26
+        # static slices instead of a 26*162-row gather
+        assert n >= 2 * 162 + n_lags - 2, (n, n_lags)
+
+        def lag_rows(S):
+            Se, So = S[0::2], S[1::2]
+            return jnp.stack(
+                [(Se if k0 % 2 == 0 else So)[k0 // 2:k0 // 2 + 162]
+                 for k0 in range(n_lags)], axis=0)  # (lags, 162, D, w)
+
+        XA = lag_rows(SA)
+        XB = lag_rows(SB)
+        wdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+        W_ss = (onehot * sync_sign[None, :, None].astype(jnp.float32)
+                ).astype(wdt)
         ss = jnp.einsum("mkd,wkdf->wmf", W_ss, XA,
                         preferred_element_type=jnp.float32)
-        pw = jnp.einsum("mkd,wkdf->wmf", onehot, XB,
+        pw = jnp.einsum("mkd,wkdf->wmf", onehot.astype(wdt), XB,
                         preferred_element_type=jnp.float32)
     # per-candidate frequency gather: ifr = if0 + (-2..2). The conv
     # branch carries (m, w, f), the einsum branch (w, m, f); both gather

@@ -40,15 +40,29 @@ class CoarseConfig:
                                   # ops/stft_pallas.py — same bf16
                                   # numerics; experimental). Host
                                   # CoarseSearch always uses "fft".
-    grid_dtype: str = "f32"       # device-engine coarse sync-grid conv
-                                  # operands: "f32" or "bf16" (f32
-                                  # accumulation; one-hot kernels exact
-                                  # in bf16). Measured r4: deep-SNR
-                                  # decode rates identical, perf ~2%
-                                  # (inside noise) — so the default
-                                  # stays f32; option kept for byte-
-                                  # constrained configs. Host
-                                  # CoarseSearch stays f32.
+    grid_dtype: str = "auto"      # device-engine coarse sync-grid
+                                  # operands: "auto" (f32 for the
+                                  # narrowband conv — bf16 measured
+                                  # neutral there in r4; bf16 for the
+                                  # wideband einsum, where it halves
+                                  # the dominant im2col bytes), "f32",
+                                  # or "bf16" (f32 accumulation either
+                                  # way; one-hot kernels exact in
+                                  # bf16; deep-SNR decode rates
+                                  # identical, SWEEP artifacts). An
+                                  # explicit value is always honored.
+                                  # Host CoarseSearch stays f32.
+    grid_impl: str = "auto"       # device-engine sync-grid contraction:
+                                  # "conv" (conv_general_dilated over
+                                  # the A/B planes), "einsum" (im2col
+                                  # MXU GEMM), or "auto" — conv for
+                                  # narrowband, einsum for wideband
+                                  # (hpbm > 32), where the dilated
+                                  # one-hot conv lowers to <10% MXU on
+                                  # v5e while the GEMM runs the same
+                                  # FLOPs near MXU speed (r5 measured).
+                                  # Host CoarseSearch always uses the
+                                  # f32 einsum oracle path.
 
     @property
     def fft_size(self) -> int:          # "size" = 2*spb

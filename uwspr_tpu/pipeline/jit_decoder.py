@@ -347,11 +347,23 @@ class DeviceDecoder:
         # and if0 are passed in ps-window-relative coordinates; the
         # zero-contribution edge rule applies at absolute column 0/size
         # exactly as before (the window ends there or further out).
+        grid_impl = cfg.grid_impl
+        if grid_impl == "auto":
+            # conv for narrowband; the im2col MXU GEMM for wideband,
+            # where the dilated one-hot conv lowers to <10% MXU on v5e
+            grid_impl = "einsum" if cfg.hpbm > 32 else "conv"
+        grid_dtype = cfg.grid_dtype
+        if grid_dtype == "auto":
+            # bf16 halves the wideband im2col copies (the dominant
+            # cost); neutral for the narrowband conv (r4), so f32
+            # there. Only the "auto" sentinel resolves — an explicit
+            # grid_dtype is always honored.
+            grid_dtype = "bf16" if grid_impl == "einsum" else "f32"
         syncgrid = coarse_score_grid(
-            ps, if0 - cb0, self._offsets, self._sign, impl="conv",
+            ps, if0 - cb0, self._offsets, self._sign, impl=grid_impl,
             f_window=(m - cfg.hpbm - 1 - 6 - cb0,
                       m + cfg.hpbm + 1 + 6 - cb0),
-            dtype=cfg.grid_dtype)
+            dtype=grid_dtype)
         if self.truncate_stage == "post_grid":
             return {"_t": syncgrid.sum()}
         best, best_idx = select_best(syncgrid, self._is_nl,

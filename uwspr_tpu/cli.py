@@ -280,6 +280,39 @@ def _stdin_source(args, hop):
                 yield z[None, :]
 
 
+def _audio_capture_source(args, hop):
+    """Live soundcard capture — the reference's ``audio_source``
+    (examples/AudioSourceDecode.grc). ``--input audio`` or
+    ``--input audio:<device>`` opens io.audio.AudioCapture (sounddevice /
+    pyaudio / ctypes-ALSA / arecord, first available) at 12 kS/s s16
+    mono and downconverts block-by-block like the stdin path. Raises a
+    clear error naming every probed backend when no soundcard stack
+    exists (use '-' with an external recorder piping s16 then)."""
+    from uwspr_tpu.frontend.downconvert import StreamingDownconverter
+    from uwspr_tpu.io.audio import AudioCapture, AudioUnavailable
+
+    device = (args.input.split(":", 1)[1]
+              if ":" in args.input else None)
+    try:
+        cap = AudioCapture(rate=12000, device=device,
+                           blocksize=2 * 32 * hop // 2)
+    except AudioUnavailable as e:
+        raise SystemExit(
+            f"{e}\nhint: pipe an external recorder instead, e.g. "
+            "`arecord -f S16_LE -r 12000 -c 1 -t raw | uwspr serve "
+            "--input - --format s16`") from None
+    print(f"# audio capture via {cap.backend_name}"
+          + (f" (device {device})" if device else ""), flush=True)
+    dc = StreamingDownconverter()
+    for block in cap:
+        if not len(block):
+            continue
+        audio = block.astype(np.float32) / 32768.0
+        z = dc.push(audio)
+        if len(z):
+            yield z[None, :]
+
+
 def _file_source(args, hop):
     """Follow a capture file (.c2 or .wav), optionally looping (the
     reference c2file_source's ``repeat``); --windows bounds the repeated
@@ -402,6 +435,8 @@ def _cmd_serve(args):
         info = {"sent": 0}
         source = (_synthetic_source(args, hop, info) if not external
                   else _stdin_source(args, hop) if args.input == "-"
+                  else _audio_capture_source(args, hop)
+                  if args.input.startswith("audio")
                   else _file_source(args, hop))
         return _cmd_serve_mesh(args, channels, external, ht, logger,
                                source, info)
@@ -431,6 +466,8 @@ def _cmd_serve(args):
     info = {"sent": 0}
     source = (_synthetic_source(args, hop, info) if not external
               else _stdin_source(args, hop) if args.input == "-"
+              else _audio_capture_source(args, hop)
+              if args.input.startswith("audio")
               else _file_source(args, hop))
 
     def emit(results):
@@ -497,11 +534,27 @@ def _grc_receiver_source(src, cfg, hop, windows_limit):
             yield chunk[None, :]
             sent += len(chunk)
         return
-    # live audio on stdin (AudioSourceDecode.grc: the soundcard is not a
-    # portable resource; stdin s16 is the framework's live-audio transport)
+    # live audio (AudioSourceDecode.grc): a real soundcard via
+    # io.audio.AudioCapture when a capture stack exists, else s16 on
+    # stdin (the portable transport an external recorder can feed)
     from uwspr_tpu.frontend.downconvert import StreamingDownconverter
     dc = StreamingDownconverter(cfg.frontend)
     decim = cfg.frontend.decimation
+    try:
+        from uwspr_tpu.io.audio import AudioCapture
+        cap = AudioCapture(rate=cfg.frontend.audio_rate,
+                           blocksize=decim * hop)
+        print(f"# audio capture via {cap.backend_name}", file=sys.stderr)
+        for block in cap:
+            if not len(block):
+                continue
+            z = dc.push(block.astype(np.float32) / 32768.0)
+            if len(z):
+                yield z[None, :]
+        return
+    except Exception:
+        print("# no soundcard backend; reading s16 audio from stdin",
+              file=sys.stderr)
     while True:
         data = sys.stdin.buffer.read(2 * decim * hop)
         if not data:
@@ -673,7 +726,9 @@ def main(argv=None):
     v = sub.add_parser("serve", help="continuous receiver (live/synthetic)")
     v.add_argument("--input", default="synthetic",
                    help="'synthetic' (default), '-' for raw samples on "
-                        "stdin, or a .c2/.wav capture to follow")
+                        "stdin, 'audio' or 'audio:<device>' for live "
+                        "soundcard capture, or a .c2/.wav capture to "
+                        "follow")
     v.add_argument("--format", choices=["cf32", "s16"], default="cf32",
                    help="stdin sample format: cf32 = interleaved float32 "
                         "I/Q at 375 S/s; s16 = 12 kS/s 16-bit mono audio")

@@ -127,19 +127,37 @@ class DeviceRingDecoder:
         q = np.round(block / scale[:, None, None]).astype(np.int16)
         return np.ascontiguousarray(q), scale
 
-    def push_hop(self, block: np.ndarray):
+    def stage(self, block: np.ndarray):
+        """Start the host->device transfer of a future hop block NOW.
+
+        Returns an opaque staged handle to pass to push_hop later. This
+        is the double-buffered ingest path: the next hop's h2d overlaps
+        the current step's compute instead of sitting on the sequential
+        ring-update critical path (in production the next 9 s of samples
+        arrive while the current batch decodes — stage them on
+        arrival)."""
+        import jax
+
+        b, scale = self._as_blocks(block)
+        return (jax.device_put(b), jax.device_put(scale))
+
+    def push_hop(self, block):
         """Ingest one hop of new samples for every channel.
 
-        block: (C, hop) complex, (C, 2, hop) float32 real/imag, or —
-        with ingest_dtype="int16" — a pre-quantized (C, 2, hop) int16
-        block (unit scale). Returns an async handle (the packed
-        on-device result) once the ring holds a full window, else None
-        (prefill). The handle is a device array — pass it to fetch() to
-        materialize spots; holding several handles pipelines
-        h2d/compute/d2h across hops."""
+        block: (C, hop) complex, (C, 2, hop) float32 real/imag, a
+        pre-quantized (C, 2, hop) int16 block (unit scale, with
+        ingest_dtype="int16"), or a staged handle from stage(). Returns
+        an async handle (the packed on-device result) once the ring
+        holds a full window, else None (prefill). The handle is a device
+        array — pass it to fetch() to materialize spots; holding several
+        handles pipelines h2d/compute/d2h across hops."""
         import jax.numpy as jnp
-        b, scale = self._as_blocks(block)
-        b, scale = jnp.asarray(b), jnp.asarray(scale)
+        if (isinstance(block, tuple) and len(block) == 2
+                and not isinstance(block[0], np.ndarray)):
+            b, scale = block                    # staged handle
+        else:
+            b, scale = self._as_blocks(block)
+            b, scale = jnp.asarray(b), jnp.asarray(scale)
         if self._filled + self.hop < self.fl:
             self._ring = self._fill(self._ring, b, scale)
             self._filled += self.hop

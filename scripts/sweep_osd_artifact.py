@@ -31,10 +31,13 @@ from uwspr_tpu.io.channel import awgn
 from uwspr_tpu.pipeline.decoder import WindowDecoder
 from uwspr_tpu.protocol.modulate import synthesize_frame
 
+import os
+
 TRIALS = 25
 SNRS = [-28.0, -29.0, -30.0, -31.0, -32.0]
 MSG = "VE3EMB FN25 30"
-DEPTH = 4
+DEPTH = int(os.environ.get("OSD_DEPTH", "4"))
+OUT = os.environ.get("OSD_OUT", "SWEEP_OSD_r04.json")
 
 
 def main():
@@ -85,7 +88,7 @@ def main():
                  "screen (tagged Spot.osd)."),
         "results": rows,
     }
-    path = pathlib.Path(__file__).resolve().parents[1] / "SWEEP_OSD_r04.json"
+    path = pathlib.Path(__file__).resolve().parents[1] / OUT
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {path}")
 

@@ -45,7 +45,10 @@ from uwspr_tpu.protocol.modulate import synthesize_frame  # noqa: E402
 TRIALS = 25
 SNRS = [-28.0, -29.0, -30.0, -31.0, -32.0]
 MSG = "VE3EMB FN25 30"
+import os
+
 DEPTH = 3            # on-device OSD ceiling (fec/osd_jax.py)
+OUT = os.environ.get("OSD_DEVICE_OUT", "SWEEP_OSD_DEVICE_r04.json")
 
 
 def make_batch(snr: float) -> np.ndarray:
@@ -109,7 +112,7 @@ def main():
         "results": rows,
     }
     path = (pathlib.Path(__file__).resolve().parents[1]
-            / "SWEEP_OSD_DEVICE_r04.json")
+            / OUT)
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {path}")
 

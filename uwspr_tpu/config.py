@@ -145,13 +145,16 @@ class DemodConfig:
                                   # candidates whose gated lanes all failed
                                   # Fano (fec/osd.py): 0 = off (reference
                                   # behavior), 2..6 = flip-search order.
-                                  # Depth 4 lifts the deep-SNR tail (-29:
-                                  # 92->100%, -30: 44->76% measured).
+                                  # Recommended host/hybrid depth: 5
+                                  # (r5 calibrated, ~2.5 s/failed lane:
+                                  # -29: 92->100%, -30: 44->68%, -31:
+                                  # 4->16%, ZERO false valids at every
+                                  # SNR under the r5 margin floors —
+                                  # SWEEP_OSD_r05.json, OSD_CALIB_o5).
                                   # Acceptance is gated by cross-jiggle
                                   # payload agreement OR the list-decoding
                                   # margin (osd_min_margin), calibrated so
-                                  # wrong-message emission is rare
-                                  # (OSD_CALIB.json, SWEEP_OSD_*_r04);
+                                  # wrong-message emission is rare;
                                   # spots stay tagged (Spot.osd).
     osd_max_lanes: int = 32       # device/mesh engines: Fano-failed worth
                                   # lanes compacted to this many on-device

@@ -102,3 +102,43 @@ def test_ring_int16_ingest_decodes():
         if h is not None:
             msgs |= {s.message for _, s in ring.spots(ring.fetch(h))}
     assert expected[0] in msgs
+
+
+def test_ring_multi_hop_step_matches_single():
+    """push_hops (K hops ingested + decoded in ONE program via lax.scan)
+    must produce the same per-hop decodes as K push_hop calls — the
+    RPC-amortized serving mode for link-constrained deployments."""
+    streams, expected = _streams(n_channels=1, seconds=170, seed=13)
+    cfg = PipelineConfig(demod=DemodConfig(maxcycles=2000))
+    hop = 3375
+    n_hops = streams.shape[1] // hop
+
+    single = DeviceRingDecoder(cfg, n_channels=1,
+                               apply_serving_defaults=False)
+    multi = DeviceRingDecoder(cfg, n_channels=1,
+                              apply_serving_defaults=False)
+    # prefill both to the same point
+    k = 0
+    while True:
+        h = single.push_hop(streams[:, k * hop:(k + 1) * hop])
+        multi.push_hop(streams[:, k * hop:(k + 1) * hop])
+        k += 1
+        if h is not None:
+            break
+    singles = []
+    K = min(4, n_hops - k)
+    for i in range(K):
+        h = single.push_hop(streams[:, (k + i) * hop:(k + i + 1) * hop])
+        singles.append(single.fetch(h))
+    blocks = np.stack([streams[:, (k + i) * hop:(k + i + 1) * hop]
+                       for i in range(K)])
+    out = multi.fetch(multi.push_hops(blocks))
+    assert out.success.shape[0] == K
+    for i in range(K):
+        np.testing.assert_array_equal(out.window(i).success,
+                                      singles[i].success)
+        np.testing.assert_array_equal(out.window(i).payload,
+                                      singles[i].payload)
+    msgs = {s.message for _, s in multi.spots(out)}
+    all_single = {s.message for o in singles for _, s in multi.spots(o)}
+    assert msgs == all_single

@@ -242,3 +242,26 @@ def test_device_osd_order3_matches_host():
         assert abs(float(q) - ref.quality) < 1e-3
         assert abs(float(m) - ref.margin) < 1e-3
         assert int(nf) == ref.flips
+
+
+def test_device_osd_order4_matches_host():
+    """Order-4 (r5): the chunked +/-1-product quadruple scoring (one
+    (K,K,K) tensor per leading flip index, fori_loop) must pick the same
+    codeword (quality, flip count) as the host's blocked
+    C(50,4)-combination walk on identical quantized lanes."""
+    import jax
+    import jax.numpy as jnp
+
+    from uwspr_tpu.fec.osd_jax import osd2_decode_jax
+
+    G = generator_matrix()
+    f = jax.jit(lambda s: osd2_decode_jax(s, G, order=4))
+    rng = np.random.default_rng(29)
+    for _ in range(6):
+        soft, _ = _quantized_soft(rng, int(rng.integers(0, 16)))
+        ref = osd_decode(soft, order=4)
+        u, q, m, nf = f(jnp.asarray(soft, jnp.float32))
+        np.testing.assert_array_equal(np.asarray(u), ref.info_bits)
+        assert abs(float(q) - ref.quality) < 1e-3
+        assert abs(float(m) - ref.margin) < 1e-3
+        assert int(nf) == ref.flips

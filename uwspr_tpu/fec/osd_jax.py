@@ -1,4 +1,4 @@
-"""On-device ordered-statistics decoding (order <= 3) as one XLA program.
+"""On-device ordered-statistics decoding (order <= 4) as one XLA program.
 
 The host OSD (fec/osd.py) gives the hybrid/host engines their deep-SNR
 fallback; this module is the same algorithm restructured for the TPU so
@@ -90,7 +90,7 @@ def osd2_decode_jax(soft: jnp.ndarray, G: np.ndarray, order: int = 2):
     quality float32, margin float32, flips int32). Same candidate set and
     strict-< preference order as the host fec/osd.osd_decode at
     order <= 2; margin matches OsdResult.margin."""
-    assert order in (1, 2, 3)
+    assert order in (1, 2, 3, 4)
     Gj = jnp.asarray(G, jnp.int32)
     y = soft - 128.0
     h = (y >= 0)
@@ -160,6 +160,55 @@ def osd2_decode_jax(soft: jnp.ndarray, G: np.ndarray, order: int = 2):
                    .at[p3].add(1).at[q3].add(1).at[r3].add(1))
         flips = jnp.where(take3, tripvec, flips)
         n_flips = jnp.where(take3, 3, n_flips)
+
+    if order >= 4:
+        # order-4 (r5): all C(50,4) quadruples, chunked over the first
+        # flip index p to bound memory at one (K,K,K) tensor per step.
+        # Scores via the +/-1 product form (like the host's order>=4
+        # path): with E = 1-2D, q4(p,q,r,t) = sum_i s_i E_ip E_iq E_ir
+        # E_it and score = score0 + (sum(s) - q4)/2 = score0 + sum over
+        # flipped-XOR disagreements. fori_loop p ascending with
+        # strict-< keeps the host's lexicographic first-min tie-break.
+        E = (1.0 - 2.0 * Df)
+        T_s = jnp.sum(s)
+        kk = jnp.arange(K)
+        strict3 = ((kk[:, None, None] < kk[None, :, None])
+                   & (kk[None, :, None] < kk[None, None, :]))
+
+        def chunk(p, carry):
+            s_best4, pv, qv, rv, tv, two = carry
+            q4 = jnp.einsum("i,iq,ir,it->qrt", s * E[:, p], E, E, E)
+            sc = score0 + (T_s - q4) / 2.0
+            ok = strict3 & (kk[:, None, None] > p)
+            sc = jnp.where(ok, sc, jnp.inf)
+            flat = jnp.argmin(sc)
+            q_ = (flat // (K * K)).astype(jnp.int32)
+            r_ = ((flat // K) % K).astype(jnp.int32)
+            t_ = (flat % K).astype(jnp.int32)
+            v = sc[q_, r_, t_]
+            # two smallest across the whole search (for the margin)
+            two = -jax.lax.top_k(
+                -jnp.concatenate([two,
+                                  -jax.lax.top_k(-sc.reshape(-1), 2)[0]]),
+                2)[0]
+            take = v < s_best4
+            return (jnp.where(take, v, s_best4),
+                    jnp.where(take, jnp.int32(p), pv),
+                    jnp.where(take, q_, qv), jnp.where(take, r_, rv),
+                    jnp.where(take, t_, tv), two)
+
+        init4 = (jnp.float32(jnp.inf), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0), jnp.int32(0),
+                 jnp.full(2, jnp.inf, jnp.float32))
+        s_b4, p4i, q4i, r4i, t4i, two4 = jax.lax.fori_loop(0, K, chunk,
+                                                           init4)
+        top2.append(two4)
+        take4 = s_b4 < s_best
+        s_best = jnp.where(take4, s_b4, s_best)
+        quadvec = (jnp.zeros(K, jnp.int32).at[p4i].add(1).at[q4i].add(1)
+                   .at[r4i].add(1).at[t4i].add(1))
+        flips = jnp.where(take4, quadvec, flips)
+        n_flips = jnp.where(take4, 4, n_flips)
 
     u = (u0 + Ainv @ flips) & 1
     total = jnp.maximum(jnp.sum(r), 1e-9)

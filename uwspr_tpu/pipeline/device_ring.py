@@ -103,6 +103,20 @@ class DeviceRingDecoder:
         # full batch program on mostly-zero windows
         self._fill = jax.jit(_append, donate_argnums=0)
 
+        # multi-hop step: ingest K hop blocks and decode after each in
+        # ONE program (lax.scan over hops). Every dispatch/h2d/d2h pays
+        # a fixed per-RPC cost on remote runtimes; batching K hops
+        # amortizes it K-fold at K*9 s of added stream latency — the
+        # throughput/latency knob for link-constrained serving.
+        def _multi_step(ring, new):        # new: (K, C, 2|1, hop)
+            def body(r, nk):
+                blk, sc = nk
+                r2 = _append(r, blk, sc)
+                return r2, self._device._decode_windows_batched(r2)
+            return jax.lax.scan(body, ring, new)
+
+        self._multi = jax.jit(_multi_step, donate_argnums=0)
+
         self._ring = jnp.zeros((n_channels, 2, self.fl), jnp.float32)
         self._filled = 0
 
@@ -166,6 +180,23 @@ class DeviceRingDecoder:
         self._filled += self.hop
         return packed
 
+    def push_hops(self, blocks) -> "object":
+        """Ingest K hops at once, decoding after each — one dispatch,
+        one h2d, one packed (K, C, ...) result (see _multi_step). The
+        ring must already be full (prefill with push_hop). blocks:
+        (K, C, hop) complex or (K, C, 2, hop) float32/int16."""
+        import jax.numpy as jnp
+        if self._filled + self.hop < self.fl:
+            raise RuntimeError("prefill the ring with push_hop first")
+        blocks = np.asarray(blocks)
+        K = blocks.shape[0]
+        staged = [self._as_blocks(blocks[k]) for k in range(K)]
+        b = jnp.asarray(np.stack([s[0] for s in staged]))
+        sc = jnp.asarray(np.stack([s[1] for s in staged]))
+        self._ring, packed = self._multi(self._ring, (b, sc))
+        self._filled += K * self.hop
+        return packed
+
     def fetch(self, handle):
         """Materialize one push_hop handle -> DeviceDecoderOutput
         (leading axis = channel)."""
@@ -175,7 +206,16 @@ class DeviceRingDecoder:
         return self._device.unpack_output(out)
 
     def spots(self, out, hashtable=None):
-        """(channel, Spot) pairs for one fetched output."""
+        """(channel, Spot) pairs for one fetched output. Multi-hop
+        outputs (push_hops: leading (K, C)) yield the union over hops —
+        use out.window(k) for per-hop attribution."""
+        # one hop's output is (channels, candidates); a push_hops fetch
+        # carries an extra leading hop axis — recurse over it
+        if out.success.ndim > 2:
+            results = []
+            for k in range(out.success.shape[0]):
+                results.extend(self.spots(out.window(k), hashtable))
+            return results
         results = []
         for c in range(self.n_channels):
             for s in self._device.spots(out.window(c), hashtable):

@@ -69,7 +69,7 @@ class DeviceDecoderOutput:
                                # count; load/capacity observability)
     osd: np.ndarray            # per candidate: 0 = Fano decode, else the
                                # OSD search order that recovered it — the
-                               # deep-SNR fallback (on-device order <= 3
+                               # deep-SNR fallback (on-device order <= 4
                                # via fec/osd_jax.py; host/hybrid engines
                                # any order via fec/osd.py)
 
@@ -1025,7 +1025,7 @@ class DeviceDecoder:
                     any_success: jnp.ndarray, payload: jnp.ndarray,
                     jbest: jnp.ndarray):
         """On-device OSD fallback (fec/osd_jax.py): worth candidates whose
-        gated Fano lanes ALL failed get an order-<=3 ordered-statistics
+        gated Fano lanes ALL failed get an order-<=4 ordered-statistics
         decode of their TWO most-synced gated jiggle lanes. Failed lanes
         across the whole batch are compacted to DemodConfig.osd_max_lanes
         (the deep-SNR tail is sparse); lanes beyond the cap degrade
@@ -1067,7 +1067,7 @@ class DeviceDecoder:
             deint_f, jsel2[:, None, None], axis=1)[:, 0]
 
         ML = min(dcfg.osd_max_lanes, L)
-        order = min(dcfg.osd_depth, 3)
+        order = min(dcfg.osd_depth, 4)
         sel = jnp.argsort(~fail, stable=True)[:ML]
         lanes = jnp.concatenate(
             [soft[sel], soft2[sel]]).astype(jnp.float32)        # (2ML, 162)

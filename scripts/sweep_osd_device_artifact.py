@@ -47,7 +47,7 @@ SNRS = [-28.0, -29.0, -30.0, -31.0, -32.0]
 MSG = "VE3EMB FN25 30"
 import os
 
-DEPTH = 3            # on-device OSD ceiling (fec/osd_jax.py)
+DEPTH = int(os.environ.get("OSD_DEVICE_DEPTH", "3"))  # <= 4 (fec/osd_jax.py r5)
 OUT = os.environ.get("OSD_DEVICE_OUT", "SWEEP_OSD_DEVICE_r04.json")
 
 

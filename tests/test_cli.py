@@ -137,3 +137,18 @@ def test_cli_warmup():
         capture_output=True, timeout=900, cwd=REPO, text=True)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "W=2 engine=device narrowband: compiled+ran" in r.stdout
+
+
+def test_serve_runtime_ring():
+    """`serve --runtime ring`: the device-resident-ring serving mode (r5,
+    hop-only h2d ingest) must decode the synthetic closed-loop stream
+    like the python runtime."""
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    r = subprocess.run(
+        [sys.executable, "-m", "uwspr_tpu.cli", "--platform", "cpu",
+         "serve", "--runtime", "ring", "--engine", "hybrid",
+         "--channels", "2", "--windows", "18"],
+        capture_output=True, timeout=600, cwd=REPO, env=env, text=True)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "VE3EMB FN25 30" in r.stdout, (r.stdout, r.stderr[-400:])

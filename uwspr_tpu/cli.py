@@ -454,6 +454,17 @@ def _cmd_serve(args):
             n_channels=channels, hashtable=ht, batch_windows=args.batch,
             fano_mode="host" if args.engine == "hybrid" else "device")
         hop = sd.config.stream.shift * sd.config.stream.fs
+    elif args.runtime == "ring":
+        if getattr(args, "passes", 1) > 1:
+            raise SystemExit("--passes requires --runtime python")
+        if args.engine == "host":
+            raise SystemExit("--runtime ring serves through the batched "
+                             "XLA engines; use --engine device/hybrid")
+        from uwspr_tpu.pipeline.device_ring import RingServe
+        sd = RingServe(
+            n_channels=channels, hashtable=ht,
+            fano_mode="host" if args.engine == "hybrid" else "device")
+        hop = sd.ring.hop
     else:
         sd = StreamDecoder(n_channels=channels, hashtable=ht,
                            engine=args.engine,
@@ -738,10 +749,13 @@ def main(argv=None):
                    help="inject linear drift into a .c2 input (Hz/min)")
     v.add_argument("--engine", choices=["auto", "host", "device", "hybrid"],
                    default="auto")
-    v.add_argument("--runtime", choices=["python", "native"],
+    v.add_argument("--runtime", choices=["python", "native", "ring"],
                    default="python",
                    help="native = C++ ingest/windowing + fixed-width "
-                        "batched XLA decode (BatchedStreamDecoder)")
+                        "batched XLA decode (BatchedStreamDecoder); "
+                        "ring = device-resident sample ring, hop-only "
+                        "h2d ingest (DeviceRingDecoder — the serving "
+                        "mode for host-fed TPU deployments)")
     v.add_argument("--mesh", default=None, metavar="CxT",
                    help="serve through a (channel, time) device mesh via "
                         "ShardedStreamDecoder — the multi-chip receiver "

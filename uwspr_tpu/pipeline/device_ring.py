@@ -237,4 +237,59 @@ class DeviceRingDecoder:
         self._filled = int(state["filled"])
 
 
-__all__ = ["DeviceRingDecoder"]
+class RingServe:
+    """StreamDecoder-interface adapter over DeviceRingDecoder: push
+    arbitrary (channels, n) complex blocks, get [(channel,
+    DecodeResult)] once full windows decode — what `uwspr serve
+    --runtime ring` uses. Buffers to hop alignment on the host; all
+    windowing/decoding is on-device (hop-only h2d)."""
+
+    def __init__(self, config=None, n_channels: int = 1, hashtable=None,
+                 fano_mode: str = "device",
+                 apply_serving_defaults: bool | None = None,
+                 ingest_dtype: str = "f32"):
+        from uwspr_tpu.pipeline.stream import StreamStats
+        self.ring = DeviceRingDecoder(
+            config, n_channels=n_channels, fano_mode=fano_mode,
+            apply_serving_defaults=apply_serving_defaults,
+            ingest_dtype=ingest_dtype)
+        self.config = self.ring.config
+        self.hashtable = hashtable
+        self.stats = StreamStats()
+        self._buf = np.zeros((n_channels, 0), np.complex64)
+
+    def push(self, samples: np.ndarray):
+        import time
+
+        from uwspr_tpu.pipeline.decoder import DecodeResult
+        samples = np.atleast_2d(np.asarray(samples))
+        self._buf = np.concatenate(
+            [self._buf, samples.astype(np.complex64)], axis=1)
+        hop = self.ring.hop
+        results = []
+        while self._buf.shape[1] >= hop:
+            t0 = time.perf_counter()
+            h = self.ring.push_hop(self._buf[:, :hop])
+            self._buf = self._buf[:, hop:]
+            if h is None:
+                continue
+            out = self.ring.fetch(h)
+            self.stats.decode_seconds += time.perf_counter() - t0
+            for c in range(self.ring.n_channels):
+                one = out.window(c)
+                r = DecodeResult(
+                    spots=self.ring._device.spots(one, self.hashtable))
+                r.n_candidates = int(one.valid.sum())
+                r.n_fano_attempts = int(one.fano_attempts)
+                self.stats.windows += 1
+                self.stats.candidates += r.n_candidates
+                self.stats.fano_attempts += r.n_fano_attempts
+                self.stats.spots += len(r.spots)
+                results.append((c, r))
+        return results
+
+    def flush(self):
+        return []
+
+
+__all__ = ["DeviceRingDecoder", "RingServe"]

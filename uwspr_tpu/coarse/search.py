@@ -575,6 +575,10 @@ def _select_best_grouped(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
     init = (jnp.full(C, -1e30, jnp.float32), jnp.zeros(C, jnp.int32),
             jnp.zeros(C, jnp.int32), jnp.zeros(C, jnp.int32),
             jnp.ones(C, bool))
+    # NOTE (r5 measured): replacing the while-cond with a fixed-trip
+    # fori phase (8 rounds) + straggler while_loop measured 0.038 vs
+    # 0.036 ms/window — the cost is the ~15 kernel launches per body
+    # iteration, not the cross-lane any() cond, so the simple loop stays
     best, bidx, _, _, _ = jax.lax.while_loop(cond, body, init)
     return best, bidx
 

@@ -52,6 +52,17 @@ class CoarseConfig:
                                   # identical, SWEEP artifacts). An
                                   # explicit value is always honored.
                                   # Host CoarseSearch stays f32.
+    select_impl: str = "auto"     # device-engine model selection:
+                                  # "xla" (_select_best_grouped — the
+                                  # event-skip while_loop), "pallas"
+                                  # (ops/select_pallas.py — the whole
+                                  # sequential walk inside one Mosaic
+                                  # program, VMEM-resident; r5), or
+                                  # "auto" (pallas on TPU when the
+                                  # model bank is linear-first, else
+                                  # xla). Bit-identical results
+                                  # (oracle-tested); host CoarseSearch
+                                  # always uses the XLA path.
     grid_impl: str = "auto"       # device-engine sync-grid contraction:
                                   # "conv" (conv_general_dilated over
                                   # the A/B planes), "einsum" (im2col

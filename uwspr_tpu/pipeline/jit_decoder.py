@@ -366,8 +366,22 @@ class DeviceDecoder:
             dtype=grid_dtype)
         if self.truncate_stage == "post_grid":
             return {"_t": syncgrid.sum()}
-        best, best_idx = select_best(syncgrid, self._is_nl,
-                                     threshold=float(cfg.threshold))
+        sel_impl = cfg.select_impl
+        if sel_impl == "auto":
+            # the Pallas walk requires the linear-first bank ordering
+            # (build_drift_models always produces it) and a TPU
+            nl = np.asarray(self._is_nl)
+            ordered = bool(np.all(nl[1:] >= nl[:-1]))
+            sel_impl = ("pallas" if ordered
+                        and jax.default_backend() == "tpu" else "xla")
+        if sel_impl == "pallas":
+            from uwspr_tpu.ops.select_pallas import select_best_pallas
+            best, best_idx = select_best_pallas(
+                syncgrid, self._is_nl, threshold=float(cfg.threshold),
+                interpret=jax.default_backend() != "tpu")
+        else:
+            best, best_idx = select_best(syncgrid, self._is_nl,
+                                         threshold=float(cfg.threshold))
         Mdim = self._offsets.shape[0]
         fi = best_idx // (26 * Mdim)
         k0 = (best_idx // Mdim) % 26

@@ -59,8 +59,10 @@ class CoarseConfig:
                                   # sequential walk inside one Mosaic
                                   # program, VMEM-resident; r5), or
                                   # "auto" (pallas on TPU when the
-                                  # model bank is linear-first, else
-                                  # xla). Bit-identical results
+                                  # model bank is linear-first AND the
+                                  # per-window grid fits scoped VMEM —
+                                  # narrowband C<=~60 lanes; wideband
+                                  # C=200 stays xla). Bit-identical
                                   # (oracle-tested); host CoarseSearch
                                   # always uses the XLA path.
     grid_impl: str = "auto"       # device-engine sync-grid contraction:

@@ -369,10 +369,15 @@ class DeviceDecoder:
         sel_impl = cfg.select_impl
         if sel_impl == "auto":
             # the Pallas walk requires the linear-first bank ordering
-            # (build_drift_models always produces it) and a TPU
+            # (build_drift_models always produces it), a TPU, and a
+            # grid block that fits scoped VMEM (~16 MB): the kernel
+            # holds (C, G, M) plus its extreme tables per window, so
+            # wideband's C=200 lanes (26.8 MB measured) stay on the
+            # XLA event loop
             nl = np.asarray(self._is_nl)
             ordered = bool(np.all(nl[1:] >= nl[:-1]))
-            sel_impl = ("pallas" if ordered
+            grid_mb = (self.n_cand * 130 * nl.shape[0] * 4) / 1e6
+            sel_impl = ("pallas" if ordered and grid_mb <= 4.0
                         and jax.default_backend() == "tpu" else "xla")
         if sel_impl == "pallas":
             from uwspr_tpu.ops.select_pallas import select_best_pallas

@@ -130,27 +130,37 @@ def select_best_pallas(sync: jnp.ndarray, is_nonlinear: jnp.ndarray,
     Mdim = sync.shape[3]
     g3 = sync.reshape(C, -1, Mdim)
     G = g3.shape[1]
+    # candidate lanes are independent: chunk them over the pallas grid
+    # so the per-program VMEM block stays ~1 MB (the monolithic C=200
+    # wideband block measured a 26.8 MB scoped-VMEM compile OOM). Pad C
+    # to the chunk width with NaN lanes — NaNs never accept, so padded
+    # lanes terminate immediately with the init state.
+    Cb = min(C, 16)
+    Cp = -(-C // Cb) * Cb
+    if Cp != C:
+        g3 = jnp.concatenate(
+            [g3, jnp.full((Cp - C, G, Mdim), jnp.nan, g3.dtype)])
     nl = jnp.asarray(is_nonlinear, jnp.int32)[None, :]        # (1, M)
-    kern = functools.partial(_kernel, C=C, G=G, Mdim=Mdim,
+    kern = functools.partial(_kernel, C=Cb, G=G, Mdim=Mdim,
                              thr=float(threshold))
     best, bidx = pl.pallas_call(
         kern,
-        grid=(1,),
+        grid=(Cp // Cb,),
         in_specs=[
-            pl.BlockSpec((1, C, G, Mdim), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, Cb, G, Mdim), lambda i: (0, i, 0, 0)),
             pl.BlockSpec((1, Mdim), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((C, 1), lambda i: (0, 0)),
-            pl.BlockSpec((C, 1), lambda i: (0, 0)),
+            pl.BlockSpec((Cb, 1), lambda i: (i, 0)),
+            pl.BlockSpec((Cb, 1), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((C, 1), jnp.float32),
-            jax.ShapeDtypeStruct((C, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Cp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Cp, 1), jnp.int32),
         ],
         interpret=interpret,
     )(g3[None], nl)
-    return best[:, 0], bidx[:, 0]
+    return best[:C, 0], bidx[:C, 0]
 
 
 __all__ = ["select_best_pallas"]

@@ -369,15 +369,18 @@ class DeviceDecoder:
         sel_impl = cfg.select_impl
         if sel_impl == "auto":
             # the Pallas walk requires the linear-first bank ordering
-            # (build_drift_models always produces it), a TPU, and a
-            # grid block that fits scoped VMEM (~16 MB): the kernel
-            # holds (C, G, M) plus its extreme tables per window, so
-            # wideband's C=200 lanes (26.8 MB measured) stay on the
-            # XLA event loop
+            # (build_drift_models always produces it) and a TPU. The
+            # kernel chunks the candidate axis over its pallas grid
+            # (16-lane blocks — the monolithic C=200 block measured a
+            # 26.8 MB scoped-VMEM compile OOM), but chunks run
+            # SEQUENTIALLY per core: at wideband C=200 the 13-chunk
+            # kernel measured 0.70 ms/window vs the XLA event loop's
+            # 0.47-0.52 (one 200-lane lockstep round beats 13 serial
+            # 16-lane walks), so auto keeps pallas for narrowband-sized
+            # banks only
             nl = np.asarray(self._is_nl)
             ordered = bool(np.all(nl[1:] >= nl[:-1]))
-            grid_mb = (self.n_cand * 130 * nl.shape[0] * 4) / 1e6
-            sel_impl = ("pallas" if ordered and grid_mb <= 4.0
+            sel_impl = ("pallas" if ordered and self.n_cand <= 32
                         and jax.default_backend() == "tpu" else "xla")
         if sel_impl == "pallas":
             from uwspr_tpu.ops.select_pallas import select_best_pallas
